@@ -1,0 +1,109 @@
+"""Benchmark: 512×512 images/sec/chip on the flagship 6-stage UNet.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+Primary metric is inference throughput at 512² in bf16 (north-star target:
+>=2000 images/sec/chip on v5e — BASELINE.md). ``vs_baseline`` is the ratio
+against that 2000 img/s/chip target. The train-step rate (reference GPU
+baseline ~54 img/s, BASELINE.md) is reported on stderr as a secondary metric.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def time_fn(fn, *args, iters=20, warmup=3):
+    """Time a jitted fn that returns a SCALAR.
+
+    On the tunneled TPU runtime, blocking on a large output buffer returns
+    prematurely; blocking on a scalar-reduced output is honest. Callers must
+    reduce their real output to a scalar inside the jit.
+    """
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    start = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - start) / iters
+
+
+def main():
+    from unet_implementations_tpu.data.synthetic import synthetic_batch
+    from unet_implementations_tpu.models.unet import unet_6stage
+    from unet_implementations_tpu.training import (
+        create_train_state,
+        make_segmentation_train_step,
+        sgd_nesterov,
+    )
+
+    n_chips = jax.device_count()
+    log(f"devices: {jax.devices()}")
+
+    batch_size = 32
+    model = unet_6stage(dtype=jnp.bfloat16)
+    host = synthetic_batch(0, batch_size, size=512)
+    image = jnp.asarray(host["image"], jnp.bfloat16)
+    mask = jnp.asarray(host["mask"])
+
+    params = model.init(jax.random.key(0), image[:1])["params"]
+
+    @jax.jit
+    def infer(params, image):
+        # scalar-reduced output: forces full execution under honest blocking
+        return jnp.mean(
+            model.apply({"params": params}, image, deterministic=True)
+        )
+
+    log("compiling inference...")
+    dt = time_fn(infer, params, image, iters=20)
+    infer_ips = batch_size / dt / n_chips
+    log(f"inference: {dt * 1e3:.2f} ms/batch{batch_size} -> "
+        f"{infer_ips:.1f} images/sec/chip")
+
+    # Secondary: full train step (fwd+loss+bwd+sgd update). Chained state
+    # serializes iterations; blocking on the scalar loss is honest.
+    state = create_train_state(model, jax.random.key(0), image[:1], sgd_nesterov())
+    train_step = make_segmentation_train_step(donate=False)
+    batch = {"image": image, "mask": mask}
+    rng = jax.random.key(1)
+    log("compiling train step...")
+    state, loss = train_step(state, batch, rng)  # compile + warmup
+    jax.block_until_ready(loss)
+    iters = 10
+    start = time.perf_counter()
+    for _ in range(iters):
+        state, loss = train_step(state, batch, rng)
+    jax.block_until_ready(loss)
+    dt_train = (time.perf_counter() - start) / iters
+    train_ips = batch_size / dt_train / n_chips
+    log(f"train step: {dt_train * 1e3:.2f} ms/batch{batch_size} -> "
+        f"{train_ips:.1f} images/sec/chip (reference GPU baseline ~54)")
+
+    print(json.dumps({
+        "metric": "unet6_512px_bf16_inference_throughput",
+        "value": round(float(infer_ips), 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(float(infer_ips) / 2000.0, 4),
+        "secondary": {
+            "train_step_images_per_sec_per_chip": round(float(train_ips), 2),
+            "train_vs_reference_gpu_54": round(float(train_ips) / 54.0, 2),
+            "batch_size": batch_size,
+            "n_chips": n_chips,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

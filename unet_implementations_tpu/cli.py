@@ -1,0 +1,230 @@
+"""Unified CLI mirroring the reference per-sub-repo entry points.
+
+Reference: four ``src/main.py``/``train.py``/``evaluate.py`` triples with
+argparse flags (SURVEY §1.1). Here::
+
+    python -m unet_implementations_tpu.cli our_unet train --data_dir ... --output_dir ...
+    python -m unet_implementations_tpu.cli our_unet evaluate --model_path ... --data_dir ...
+    python -m unet_implementations_tpu.cli ae_recon train ...
+    python -m unet_implementations_tpu.cli ae_transfer train --pretrained_encoder ...
+    python -m unet_implementations_tpu.cli clip_unet train --clip_model ViT-B/16 ...
+    python -m unet_implementations_tpu.cli pipeline --raw_dir ... --processed_dir ...
+    python -m unet_implementations_tpu.cli augment --data_dir ...  (offline augmentation)
+
+Divergence from reference bugs: ``--batch_size`` is honored (the reference
+force-overrides to 32/16 post-parse, ``Our_UNet/src/train.py:748``,
+``CLIP_UNet/src/train.py:841``) — the defaults match those values instead.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _add_common_train_flags(p: argparse.ArgumentParser, batch_size: int = 32):
+    p.add_argument("--data_dir", required=True)
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--batch_size", type=int, default=batch_size)
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--num_threads", type=int, default=8)
+    p.add_argument("--save_every", type=int, default=10)
+    p.add_argument("--patience", type=int, default=15)
+    p.add_argument("--resume", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--no_mesh", action="store_true", help="disable data-parallel mesh")
+    p.add_argument("--f32", action="store_true", help="compute in float32 (default bf16)")
+
+
+def _add_seg_train_flags(p: argparse.ArgumentParser):
+    p.add_argument("--lr", type=float, default=5e-3)
+    p.add_argument("--weight_decay", type=float, default=1e-4)
+    p.add_argument("--momentum", type=float, default=0.99)
+    p.add_argument("--weighted_ce", action=argparse.BooleanOptionalAction, default=True)
+    p.add_argument("--static_weights", action="store_true")
+    p.add_argument("--dice_weight", type=float, default=1.0)
+    p.add_argument("--ce_weight", type=float, default=1.0)
+
+
+def _add_eval_flags(p: argparse.ArgumentParser):
+    p.add_argument("--model_path", required=True)
+    p.add_argument("--data_dir", required=True)
+    p.add_argument("--output_dir", default="evaluation_results")
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--f32", action="store_true")
+
+
+def _dtype(args):
+    import jax.numpy as jnp
+
+    return jnp.float32 if args.f32 else jnp.bfloat16
+
+
+def _seg_train_kwargs(args):
+    return dict(
+        batch_size=args.batch_size, epochs=args.epochs, lr=args.lr,
+        weight_decay=args.weight_decay, momentum=args.momentum,
+        weighted_ce=args.weighted_ce, static_weights=args.static_weights,
+        dice_weight=args.dice_weight, ce_weight=args.ce_weight,
+        patience=args.patience, save_every=args.save_every, resume=args.resume,
+        seed=args.seed, dtype=_dtype(args), use_mesh=not args.no_mesh,
+        num_threads=args.num_threads,
+    )
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(prog="unet_implementations_tpu")
+    sub = parser.add_subparsers(dest="recipe", required=True)
+
+    # --- our_unet ---------------------------------------------------------
+    our = sub.add_parser("our_unet").add_subparsers(dest="cmd", required=True)
+    t = our.add_parser("train")
+    _add_common_train_flags(t)
+    _add_seg_train_flags(t)
+    e = our.add_parser("evaluate")
+    _add_eval_flags(e)
+
+    # --- clip_unet --------------------------------------------------------
+    clip = sub.add_parser("clip_unet").add_subparsers(dest="cmd", required=True)
+    t = clip.add_parser("train")
+    _add_common_train_flags(t, batch_size=16)
+    _add_seg_train_flags(t)
+    t.add_argument("--clip_model", default="ViT-B/16",
+                   choices=["ViT-B/16", "ViT-B/32", "ViT-L/14"])
+    t.add_argument("--clip_weights", default=None,
+                   help="path to converted CLIP weights (msgpack); random init if absent")
+    e = clip.add_parser("evaluate")
+    _add_eval_flags(e)
+    e.add_argument("--clip_model", default="ViT-B/16",
+                   choices=["ViT-B/16", "ViT-B/32", "ViT-L/14"])
+    e.add_argument("--clip_weights", default=None)
+    e.add_argument("--no_clip_features", action="store_true",
+                   help="reproduce the reference evaluator quirk (no conditioning)")
+
+    # --- ae_recon ---------------------------------------------------------
+    ae = sub.add_parser("ae_recon").add_subparsers(dest="cmd", required=True)
+    t = ae.add_parser("train")
+    _add_common_train_flags(t)
+    t.add_argument("--lr", type=float, default=1e-3)
+    t.add_argument("--weight_decay", type=float, default=1e-5)
+    t.add_argument("--mse_weight", type=float, default=1.0)
+    t.add_argument("--perceptual_weight", type=float, default=0.0)
+    t.add_argument("--ssim_weight", type=float, default=0.0)
+    e = ae.add_parser("evaluate")
+    _add_eval_flags(e)
+    e.add_argument("--analyze_latent_space", action="store_true")
+
+    # --- ae_transfer ------------------------------------------------------
+    tr = sub.add_parser("ae_transfer").add_subparsers(dest="cmd", required=True)
+    t = tr.add_parser("train")
+    _add_common_train_flags(t)
+    _add_seg_train_flags(t)
+    t.add_argument("--pretrained_encoder", required=True,
+                   help="path to the phase-1 AE best_model checkpoint")
+    e = tr.add_parser("evaluate")
+    _add_eval_flags(e)
+
+    # --- offline pipeline -------------------------------------------------
+    pl = sub.add_parser("pipeline")
+    pl.add_argument("--raw_dir", required=True)
+    pl.add_argument("--processed_dir", required=True)
+    pl.add_argument("--val_ratio", type=float, default=0.2)
+    pl.add_argument("--seed", type=int, default=42)
+    pl.add_argument("--target_size", type=int, default=512)
+
+    aug = sub.add_parser("augment")
+    aug.add_argument("--data_dir", required=True,
+                     help="processed dir; writes Train/augmented/{images,masks}")
+    aug.add_argument("--cat_augmentations", type=int, default=5)
+    aug.add_argument("--dog_augmentations", type=int, default=2)
+    aug.add_argument("--seed", type=int, default=42)
+
+    clipimg = sub.add_parser("clip_resize")
+    clipimg.add_argument("--data_dir", required=True)
+    clipimg.add_argument("--size", type=int, default=224)
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    if args.recipe == "pipeline":
+        from unet_implementations_tpu.data.pipeline import run_pipeline
+
+        stats = run_pipeline(args.raw_dir, args.processed_dir,
+                             args.val_ratio, args.seed, args.target_size)
+        print(stats)
+        return
+
+    if args.recipe == "augment":
+        from unet_implementations_tpu.data.augment import augment_dataset_offline
+
+        stats = augment_dataset_offline(
+            args.data_dir, cat_augmentations=args.cat_augmentations,
+            dog_augmentations=args.dog_augmentations, seed=args.seed,
+        )
+        print(stats)
+        return
+
+    if args.recipe == "clip_resize":
+        from pathlib import Path
+
+        from unet_implementations_tpu.data.pipeline import create_clip_resized
+
+        for split in ("Train", "Val", "Test"):
+            d = Path(args.data_dir) / split
+            if (d / "resized").exists():
+                n = create_clip_resized([d / "resized"], d / "resized_clip", args.size)
+                print(f"{split}: {n} images")
+        return
+
+    if args.recipe == "our_unet":
+        from unet_implementations_tpu.recipes import our_unet as r
+
+        if args.cmd == "train":
+            r.train(args.data_dir, args.output_dir, **_seg_train_kwargs(args))
+        else:
+            r.evaluate(args.model_path, args.data_dir, args.output_dir,
+                       batch_size=args.batch_size, dtype=_dtype(args))
+    elif args.recipe == "clip_unet":
+        from unet_implementations_tpu.recipes import clip_unet as r
+
+        if args.cmd == "train":
+            r.train(args.data_dir, args.output_dir,
+                    clip_model=args.clip_model, clip_weights=args.clip_weights,
+                    **_seg_train_kwargs(args))
+        else:
+            r.evaluate(args.model_path, args.data_dir, args.output_dir,
+                       batch_size=args.batch_size, dtype=_dtype(args),
+                       clip_model=args.clip_model, clip_weights=args.clip_weights,
+                       use_clip_features=not args.no_clip_features)
+    elif args.recipe == "ae_recon":
+        from unet_implementations_tpu.recipes import ae_recon as r
+
+        if args.cmd == "train":
+            r.train(args.data_dir, args.output_dir,
+                    batch_size=args.batch_size, epochs=args.epochs, lr=args.lr,
+                    weight_decay=args.weight_decay, mse_weight=args.mse_weight,
+                    perceptual_weight=args.perceptual_weight,
+                    ssim_weight=args.ssim_weight, patience=args.patience,
+                    save_every=args.save_every, resume=args.resume,
+                    seed=args.seed, dtype=_dtype(args),
+                    use_mesh=not args.no_mesh, num_threads=args.num_threads)
+        else:
+            r.evaluate(args.model_path, args.data_dir, args.output_dir,
+                       batch_size=args.batch_size, dtype=_dtype(args),
+                       analyze_latent_space=args.analyze_latent_space)
+    elif args.recipe == "ae_transfer":
+        from unet_implementations_tpu.recipes import ae_transfer as r
+
+        if args.cmd == "train":
+            r.train(args.data_dir, args.output_dir,
+                    pretrained_encoder=args.pretrained_encoder,
+                    **_seg_train_kwargs(args))
+        else:
+            r.evaluate(args.model_path, args.data_dir, args.output_dir,
+                       batch_size=args.batch_size, dtype=_dtype(args))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,133 @@
+"""Device-side resize primitives with torch/cv2-matching semantics.
+
+Metric parity depends on exact resize index math (SURVEY §7.3): the reference
+uses cv2 ``INTER_NEAREST`` / ``INTER_LINEAR`` on the host and torch
+``F.interpolate`` nearest/bilinear(align_corners=False) on device
+(``Our_UNet/src/evaluate.py:189-207``, ``models/unet.py:219-225``). Both
+libraries agree on the index formulas implemented here:
+
+- nearest: ``src = floor(dst * in/out)``  (asymmetric mapping)
+- bilinear: ``src = max(0, (dst + 0.5) * in/out - 0.5)`` with edge clamping
+  (half-pixel centers)
+
+``jax.image.resize`` uses different conventions, so these are implemented as
+separable gathers/lerps; they lower to cheap XLA gathers and fuse well.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+import numpy as np
+
+
+def _nearest_indices(out_size: int, in_size: int) -> jnp.ndarray:
+    # Sizes are static under jit → compute indices in float64 numpy at trace
+    # time (torch computes source coords in double; f32 drifts on large dims).
+    scale = in_size / out_size
+    idx = np.floor(np.arange(out_size, dtype=np.float64) * scale).astype(np.int32)
+    return jnp.asarray(np.clip(idx, 0, in_size - 1))
+
+
+def resize_nearest(
+    x: jax.Array,
+    size: Tuple[int, int],
+    spatial_axes: Tuple[int, int] = (-2, -1),
+) -> jax.Array:
+    """Nearest-neighbor resize along two axes (default: last two — masks).
+
+    For NHWC images pass ``spatial_axes=(1, 2)``. Matches torch
+    ``F.interpolate(mode='nearest')`` and cv2 ``INTER_NEAREST`` exactly.
+    """
+    ax_h, ax_w = (a % x.ndim for a in spatial_axes)
+    rows = _nearest_indices(size[0], x.shape[ax_h])
+    cols = _nearest_indices(size[1], x.shape[ax_w])
+    x = jnp.take(x, rows, axis=ax_h)
+    x = jnp.take(x, cols, axis=ax_w)
+    return x
+
+
+def _linear_weights(out_size: int, in_size: int):
+    # Computed at trace time (static sizes) in float32 — torch's CPU/CUDA
+    # bilinear kernels compute source coordinates in float32, and parity
+    # with the reference decoder/eval resizes requires matching it.
+    scale = np.float32(in_size / out_size)
+    src = (np.arange(out_size, dtype=np.float32) + np.float32(0.5)) * scale - np.float32(0.5)
+    src = np.maximum(src, 0.0)
+    i0 = np.clip(np.floor(src).astype(np.int32), 0, in_size - 1)
+    i1 = np.clip(i0 + 1, 0, in_size - 1)
+    w1 = (src - i0.astype(np.float32)).astype(np.float32)
+    return jnp.asarray(i0), jnp.asarray(i1), jnp.asarray(w1)
+
+
+def _interp_axis(x: jax.Array, axis: int, out_size: int) -> jax.Array:
+    in_size = x.shape[axis]
+    if in_size == out_size:
+        return x
+    i0, i1, w1 = _linear_weights(out_size, in_size)
+    x0 = jnp.take(x, i0, axis=axis)
+    x1 = jnp.take(x, i1, axis=axis)
+    shape = [1] * x.ndim
+    shape[axis] = out_size
+    w1 = w1.reshape(shape).astype(x0.dtype)
+    return x0 * (1 - w1) + x1 * w1
+
+
+def resize_bilinear(
+    x: jax.Array,
+    size: Tuple[int, int],
+    spatial_axes: Tuple[int, int] = (-3, -2),
+) -> jax.Array:
+    """Bilinear resize for NHWC arrays (axes default to H, W of (..., H, W, C)).
+
+    Half-pixel centers with edge clamping — torch
+    ``F.interpolate(mode='bilinear', align_corners=False)`` semantics, used by
+    the decoder upsample path (``Our_UNet/models/unet.py:219-225``) and the
+    loss's logit-to-mask alignment (``models/losses.py:65-68``).
+    """
+    ax_h, ax_w = (a % x.ndim for a in spatial_axes)
+    orig_dtype = x.dtype
+    x = x.astype(jnp.float32)
+    x = _interp_axis(x, ax_h, size[0])
+    x = _interp_axis(x, ax_w, size[1])
+    return x.astype(orig_dtype)
+
+
+def _upsample2x_axis(x: jax.Array, axis: int) -> jax.Array:
+    """Exact 2x bilinear upsample along one axis, torch half-pixel semantics.
+
+    For scale 2 the source coords are i-0.25 / i+0.25, so every output is a
+    fixed 2-tap lerp: out[2i] = 0.25*x[i-1] + 0.75*x[i] (edge-clamped),
+    out[2i+1] = 0.75*x[i] + 0.25*x[i+1]. Expressed as edge-pad + elementwise
+    + interleave, which XLA fuses — the gather formulation costs ~10x more
+    HBM traffic on TPU (measured: 251ms → 137ms full-model forward).
+    """
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (1, 1)
+    xp = jnp.pad(x, pad, mode="edge")
+    n = x.shape[axis]
+
+    def sl(start, size):
+        idx = [slice(None)] * x.ndim
+        idx[axis] = slice(start, start + size)
+        return xp[tuple(idx)]
+
+    left, mid, right = sl(0, n), sl(1, n), sl(2, n)
+    c25 = jnp.asarray(0.25, x.dtype)
+    c75 = jnp.asarray(0.75, x.dtype)
+    even = c25 * left + c75 * mid
+    odd = c75 * mid + c25 * right
+    stacked = jnp.stack([even, odd], axis=axis + 1)
+    new_shape = list(x.shape)
+    new_shape[axis] = 2 * n
+    return stacked.reshape(new_shape)
+
+
+def upsample2x_nhwc(x: jax.Array) -> jax.Array:
+    """Exact 2x bilinear upsample (the standard decoder step), NHWC."""
+    x = _upsample2x_axis(x, 1)
+    return _upsample2x_axis(x, 2)

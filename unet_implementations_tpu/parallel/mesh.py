@@ -1,0 +1,60 @@
+"""1-D data-parallel mesh utilities.
+
+The reference is single-process single-GPU (``Our_UNet/src/train.py:760-763``;
+no torch.distributed anywhere — SURVEY §2.8). The TPU-native scaling layer is
+a 1-D ``jax.sharding.Mesh`` over ICI: batches are sharded on the ``data``
+axis, parameters/optimizer state are replicated, and XLA inserts the gradient
+all-reduce automatically from the sharded-batch jit program — no explicit
+collectives needed. Multi-host DCN scaling composes on top via
+``jax.distributed.initialize`` (see ``training/loop.py`` host-sharded input).
+
+Model size (~30M params) makes TP/PP unnecessary; the single knob that
+matters is batch sharding.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def create_mesh(n_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
+    """A 1-D mesh over the first ``n_devices`` (default: all) devices."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def batch_sharding(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
+    """Shard the leading (batch) dimension across the mesh."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Optional[Mesh]) -> Any:
+    """Device-put a host batch, sharding every leaf's leading dim on ``data``."""
+    if mesh is None:
+        return jax.device_put(batch)
+    sharding = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(tree: Any, mesh: Optional[Mesh]) -> Any:
+    """Replicate a pytree (params/opt state) across the mesh."""
+    if mesh is None:
+        return jax.device_put(tree)
+    sharding = replicated_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def pad_to_multiple(n: int, k: int) -> int:
+    return ((n + k - 1) // k) * k

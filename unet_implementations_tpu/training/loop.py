@@ -1,0 +1,194 @@
+"""Epoch-level orchestration: the reference trainers' contract, one loop.
+
+Per-epoch contract (identical in all four reference trainers,
+``Our_UNet/src/train.py:914-984``): set epoch LR → train epoch → full
+validation pass → print + append CSV row → best-model check (mean foreground
+Dice for segmentation, val loss for AE) → checkpoint every ``save_every``
+epochs or on new best → early stopping.
+
+Emits the same artifacts: ``training_config.json`` (dumped at start),
+``training_log.csv`` with the reference headers, ``checkpoints/epoch_{N}``
+and ``best_model`` Orbax directories.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import jax
+import numpy as np
+
+from unet_implementations_tpu.parallel import replicate, shard_batch
+from unet_implementations_tpu.training.checkpoint import save_checkpoint
+from unet_implementations_tpu.training.early_stopping import EarlyStopping
+from unet_implementations_tpu.training.train_state import (
+    TrainState,
+    set_learning_rate,
+)
+
+SEG_CSV_HEADER = (
+    "epoch,train_loss,val_loss,dice_background,dice_cat,dice_dog,"
+    "dice_mean_foreground,learning_rate,epoch_time"
+)
+AE_CSV_HEADER = "epoch,train_loss,val_loss,val_mse,val_psnr,learning_rate,epoch_time"
+
+
+def write_training_config(output_dir: Path, config: Dict) -> None:
+    output_dir.mkdir(parents=True, exist_ok=True)
+    with open(output_dir / "training_config.json", "w") as f:
+        json.dump(config, f, indent=4, default=str)
+
+
+def train_loop(
+    state: TrainState,
+    *,
+    train_step: Callable,
+    eval_step: Callable,
+    train_batches: Callable[[int], Iterable[Dict]],
+    val_batches: Callable[[], Iterable[Dict]],
+    lr_schedule: Callable[[int], float],
+    epochs: int,
+    output_dir: str | Path,
+    task: str = "segmentation",  # or "reconstruction"
+    mesh=None,
+    rng: Optional[jax.Array] = None,
+    save_every: int = 10,
+    patience: int = 15,
+    start_epoch: int = 0,
+    best_metric: Optional[float] = None,
+    arch_config: Optional[Dict] = None,
+    verbose: bool = True,
+) -> Dict[str, Any]:
+    """Run the full training loop; returns {'state', 'best_metric', 'epochs_run'}.
+
+    ``train_batches(epoch)`` / ``val_batches()`` yield host numpy batch dicts;
+    they are sharded onto the mesh here (host-side loaders stay framework-
+    agnostic). ``task`` selects the validation protocol and CSV schema.
+    """
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    rng = rng if rng is not None else jax.random.key(0)
+
+    monitor_mode = "max" if task == "segmentation" else "min"
+    if best_metric is None:
+        best_metric = 0.0 if monitor_mode == "max" else float("inf")
+    early_stopping = EarlyStopping(patience=patience, mode=monitor_mode, verbose=verbose)
+
+    log_file = output_dir / "training_log.csv"
+    header = SEG_CSV_HEADER if task == "segmentation" else AE_CSV_HEADER
+    if start_epoch == 0 or not log_file.exists():
+        log_file.write_text(header + "\n")
+
+    state = replicate(state, mesh)
+    epochs_run = 0
+
+    for epoch in range(start_epoch, epochs):
+        epoch_start = time.time()
+        lr = lr_schedule(epoch)
+        state = state.replace(opt_state=set_learning_rate(state.opt_state, lr))
+
+        # --- train epoch ---------------------------------------------------
+        train_loss_sum, n_train = 0.0, 0
+        for batch in train_batches(epoch):
+            batch = shard_batch(batch, mesh)
+            state, loss = train_step(state, batch, rng)
+            train_loss_sum += float(loss)
+            n_train += 1
+        train_loss = train_loss_sum / max(n_train, 1)
+
+        # --- validation ----------------------------------------------------
+        val = validate(state, eval_step, val_batches(), mesh, task)
+        epoch_time = time.time() - epoch_start
+
+        if task == "segmentation":
+            metric = val["dice_mean_foreground"]
+            row = (
+                f"{epoch + 1},{train_loss:.6f},{val['loss']:.6f},"
+                f"{val['dice_background']:.6f},{val['dice_cat']:.6f},"
+                f"{val['dice_dog']:.6f},{val['dice_mean_foreground']:.6f},"
+                f"{lr:.7f},{epoch_time:.2f}"
+            )
+        else:
+            metric = val["loss"]
+            row = (
+                f"{epoch + 1},{train_loss:.6f},{val['loss']:.6f},"
+                f"{val['mse']:.6f},{val['psnr']:.4f},{lr:.7f},{epoch_time:.2f}"
+            )
+        with open(log_file, "a") as f:
+            f.write(row + "\n")
+        if verbose:
+            print(f"Epoch {epoch + 1}/{epochs}: train={train_loss:.4f} "
+                  f"val={val['loss']:.4f} metric={metric:.4f} lr={lr:.6f} "
+                  f"({epoch_time:.1f}s)")
+
+        is_best = (
+            metric > best_metric if monitor_mode == "max" else metric < best_metric
+        )
+        if is_best:
+            best_metric = metric
+
+        if (epoch + 1) % save_every == 0 or is_best:
+            save_checkpoint(
+                output_dir / "checkpoints" / f"epoch_{epoch + 1}",
+                state, epoch + 1, best_metric, arch_config,
+            )
+            if is_best:
+                save_checkpoint(
+                    output_dir / "best_model", state, epoch + 1, best_metric,
+                    arch_config,
+                )
+
+        epochs_run = epoch + 1
+        if early_stopping(metric):
+            if verbose:
+                print(f"Early stopping triggered after {epoch + 1} epochs")
+            break
+
+    return {"state": state, "best_metric": best_metric, "epochs_run": epochs_run}
+
+
+def validate(
+    state: TrainState,
+    eval_step: Callable,
+    batches: Iterable[Dict],
+    mesh=None,
+    task: str = "segmentation",
+) -> Dict[str, float]:
+    """Full validation pass with the reference's batch-mean protocol.
+
+    Segmentation: per-batch per-class hard Dice averaged over batches
+    (``Our_UNet/src/train.py:510-589``); reconstruction: mean loss/MSE/PSNR
+    (``reconstruction/src/train.py`` validate).
+    """
+    loss_sum, n = 0.0, 0
+    if task == "segmentation":
+        dice_sum = np.zeros(3)
+        for batch in batches:
+            batch = shard_batch(batch, mesh)
+            out = eval_step(state, batch)
+            loss_sum += float(out["loss"])
+            dice_sum += np.asarray(out["dice"])
+            n += 1
+        n = max(n, 1)
+        dice = dice_sum / n
+        return {
+            "loss": loss_sum / n,
+            "dice_background": float(dice[0]),
+            "dice_cat": float(dice[1]),
+            "dice_dog": float(dice[2]),
+            "dice_mean_foreground": float((dice[1] + dice[2]) / 2),
+        }
+    else:
+        mse_sum, psnr_sum = 0.0, 0.0
+        for batch in batches:
+            batch = shard_batch(batch, mesh)
+            out = eval_step(state, batch)
+            loss_sum += float(out["loss"])
+            mse_sum += float(np.mean(np.asarray(out["mse"])))
+            psnr_sum += float(np.mean(np.asarray(out["psnr"])))
+            n += 1
+        n = max(n, 1)
+        return {"loss": loss_sum / n, "mse": mse_sum / n, "psnr": psnr_sum / n}
