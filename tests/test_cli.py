@@ -1,0 +1,55 @@
+"""CLI parser contract tests (flags mirror the reference entry points)."""
+
+import pytest
+
+from unet_implementations_tpu.cli import build_parser
+
+
+class TestParser:
+    def test_our_unet_train_defaults(self):
+        args = build_parser().parse_args(
+            ["our_unet", "train", "--data_dir", "d", "--output_dir", "o"])
+        assert args.batch_size == 32
+        assert args.lr == 5e-3
+        assert args.momentum == 0.99
+        assert args.weighted_ce is True
+        assert args.patience == 15
+
+    def test_batch_size_honored_not_overridden(self):
+        # The reference force-resets batch_size post-parse (train.py:748);
+        # we honor the CLI value.
+        args = build_parser().parse_args(
+            ["our_unet", "train", "--data_dir", "d", "--output_dir", "o",
+             "--batch_size", "8"])
+        assert args.batch_size == 8
+
+    def test_clip_defaults(self):
+        args = build_parser().parse_args(
+            ["clip_unet", "train", "--data_dir", "d", "--output_dir", "o"])
+        assert args.batch_size == 16
+        assert args.clip_model == "ViT-B/16"
+
+    def test_ae_defaults(self):
+        args = build_parser().parse_args(
+            ["ae_recon", "train", "--data_dir", "d", "--output_dir", "o"])
+        assert args.lr == 1e-3
+        assert args.mse_weight == 1.0
+        assert args.perceptual_weight == 0.0  # trained truth: MSE only
+
+    def test_transfer_requires_encoder(self):
+        with pytest.raises(SystemExit):
+            build_parser().parse_args(
+                ["ae_transfer", "train", "--data_dir", "d", "--output_dir", "o"])
+
+    def test_eval_quirk_flag(self):
+        args = build_parser().parse_args(
+            ["clip_unet", "evaluate", "--model_path", "m", "--data_dir", "d",
+             "--no_clip_features"])
+        assert args.no_clip_features is True
+
+    def test_pipeline_and_augment(self):
+        args = build_parser().parse_args(
+            ["pipeline", "--raw_dir", "r", "--processed_dir", "p"])
+        assert args.val_ratio == 0.2 and args.seed == 42
+        args = build_parser().parse_args(["augment", "--data_dir", "d"])
+        assert args.cat_augmentations == 5 and args.dog_augmentations == 2

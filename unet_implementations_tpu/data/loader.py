@@ -162,7 +162,9 @@ def batch_iterator(
 
     def load_batch(chunk) -> Dict[str, np.ndarray]:
         items = [dataset.load_item(int(i)) for i in chunk]
-        return {k: np.stack([it[k] for it in items]) for k in items[0]}
+        batch = {k: np.stack([it[k] for it in items]) for k in items[0]}
+        batch["index"] = np.asarray(chunk, np.int64)
+        return batch
 
     with cf.ThreadPoolExecutor(max_workers=num_threads) as pool:
         futures = [pool.submit(load_batch, c) for c in chunks[:prefetch]]

@@ -1,0 +1,276 @@
+"""CLIP_UNet recipe: frozen CLIP image embedding fused at the UNet bottleneck.
+
+Mirrors ``CLIP_UNet/src/train.py`` (batch size default 16, frozen ViT-B/16
+run under no-grad per batch, fusion inside the model) with two TPU-native
+improvements (SURVEY §7.1):
+
+- the fusion conv is statically sized (the reference lazily rebuilds it on
+  channel mismatch, ``CLIP_UNet/models/unet.py:459-474`` — a bug workaround)
+- embeddings can be precomputed once per dataset (``embedding_cache=True``)
+  instead of re-running the frozen encoder every step — identical numbers,
+  the encoder is deterministic and frozen.
+
+Evaluation defaults to WITH clip conditioning (same as training). The
+reference evaluator silently drops the features (``CLIP_UNet/src/
+evaluate.py`` calls ``model(images)``, so its published numbers are
+unconditioned); pass ``use_clip_features=False`` to reproduce that quirk.
+
+Without pretrained CLIP weights (no network egress here), the encoder runs
+randomly initialized — pass ``clip_weights`` (torch checkpoint) to convert.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unet_implementations_tpu.data.loader import PetDataset, batch_iterator
+from unet_implementations_tpu.models.clip import ClipFeatureExtractor
+from unet_implementations_tpu.models.unet import UNet
+from unet_implementations_tpu.parallel import create_mesh
+from unet_implementations_tpu.recipes.common import evaluate_segmentation
+from unet_implementations_tpu.recipes.our_unet import (
+    ARCH_CONFIG as _SEG_ARCH,
+    compute_static_weights,
+)
+from unet_implementations_tpu.training import (
+    create_train_state,
+    make_segmentation_eval_step,
+    make_segmentation_train_step,
+    poly_lr,
+    sgd_nesterov,
+)
+from unet_implementations_tpu.training.checkpoint import (
+    restore_checkpoint,
+    restore_params,
+)
+from unet_implementations_tpu.training.loop import train_loop, write_training_config
+
+ARCH_CONFIG = dict(_SEG_ARCH, with_clip_features=True, clip_dim=512)
+
+
+def build_model(dtype=jnp.bfloat16) -> UNet:
+    return UNet(clip_fusion=True, dtype=dtype)
+
+
+def make_datasets(data_dir: str | Path):
+    data_dir = Path(data_dir)
+    train = PetDataset(
+        data_dir / "Train" / "resized",
+        data_dir / "Train" / "resized_label",
+        include_augmented=True,
+        clip_dir=data_dir / "Train" / "resized_clip"
+        if (data_dir / "Train" / "resized_clip").exists() else data_dir / "Train" / "resized",
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
+    )
+    val = PetDataset(
+        data_dir / "Val" / "resized",
+        data_dir / "Val" / "processed_labels",
+        include_augmented=False,
+        clip_dir=data_dir / "Val" / "resized_clip"
+        if (data_dir / "Val" / "resized_clip").exists() else data_dir / "Val" / "resized",
+    )
+    return train, val
+
+
+def _embedding_table(extractor, dataset, batch_size=64) -> np.ndarray:
+    """(len(dataset), dim) embedding table indexed by dataset index."""
+    feats = np.zeros((len(dataset), extractor.output_dim), np.float32)
+    for batch in batch_iterator(dataset, batch_size, shuffle=False):
+        f = np.asarray(extractor(jnp.asarray(batch["clip_image"])))
+        feats[batch["index"]] = f
+    return feats
+
+
+def _attach_features(batches, extractor, table):
+    for batch in batches:
+        if table is not None:
+            batch = dict(batch, clip_features=table[batch["index"]])
+        else:
+            batch = dict(
+                batch,
+                clip_features=np.asarray(extractor(jnp.asarray(batch["clip_image"]))),
+            )
+        batch.pop("clip_image", None)
+        yield batch
+
+
+def train(
+    data_dir: str | Path,
+    output_dir: str | Path,
+    *,
+    clip_model: str = "ViT-B/16",
+    clip_weights: Optional[str] = None,
+    embedding_cache: bool = True,
+    batch_size: int = 16,
+    epochs: int = 100,
+    lr: float = 5e-3,
+    weight_decay: float = 1e-4,
+    momentum: float = 0.99,
+    weighted_ce: bool = True,
+    static_weights: bool = False,
+    dice_weight: float = 1.0,
+    ce_weight: float = 1.0,
+    patience: int = 15,
+    save_every: int = 10,
+    resume: Optional[str] = None,
+    seed: int = 0,
+    dtype=jnp.bfloat16,
+    use_mesh: bool = True,
+    num_threads: int = 8,
+    verbose: bool = True,
+) -> Dict:
+    output_dir = Path(output_dir)
+    write_training_config(output_dir, dict(
+        data_dir=str(data_dir), output_dir=str(output_dir),
+        clip_model=clip_model, clip_weights=clip_weights,
+        embedding_cache=embedding_cache, batch_size=batch_size, epochs=epochs,
+        lr=lr, weight_decay=weight_decay, momentum=momentum,
+        weighted_ce=weighted_ce, static_weights=static_weights,
+        dice_weight=dice_weight, ce_weight=ce_weight, patience=patience,
+        save_every=save_every, seed=seed, dtype=str(dtype),
+        with_clip_features=True,
+    ))
+
+    train_ds, val_ds = make_datasets(data_dir)
+    if verbose:
+        print(f"Training dataset size: {len(train_ds)}")
+        print(f"Validation dataset size: {len(val_ds)}")
+    mesh = create_mesh() if use_mesh and jax.device_count() > 1 else None
+
+    extractor = ClipFeatureExtractor(clip_model, clip_weights, dtype=dtype)
+    if verbose and clip_weights is None:
+        print("WARNING: no CLIP weights provided — encoder is randomly "
+              "initialized (no network egress; pass --clip_weights to convert "
+              "an OpenAI checkpoint).")
+
+    train_table = val_table = None
+    if embedding_cache:
+        if verbose:
+            print("Precomputing CLIP embeddings (frozen encoder, computed once)...")
+        train_table = _embedding_table(extractor, train_ds)
+        val_table = _embedding_table(extractor, val_ds)
+
+    model = build_model(dtype)
+    tx = sgd_nesterov(lr, weight_decay, momentum)
+    sample = next(batch_iterator(train_ds, min(2, batch_size)))
+    state = create_train_state(
+        model, jax.random.key(seed), jnp.asarray(sample["image"]), tx,
+        clip_features=jnp.zeros((int(sample["image"].shape[0]), 512)),
+    )
+
+    sw = None
+    if weighted_ce and static_weights:
+        sw = jnp.asarray(compute_static_weights(train_ds, batch_size))
+    loss_kw = dict(
+        weight_ce=ce_weight, weight_dice=dice_weight,
+        dynamic_weights=weighted_ce and not static_weights,
+        static_weights=sw if weighted_ce else None,
+    )
+    train_step = make_segmentation_train_step(use_clip=True, **loss_kw)
+    eval_step = make_segmentation_eval_step(use_clip=True, **loss_kw)
+
+    start_epoch, best = 0, None
+    if resume:
+        state, meta = restore_checkpoint(resume, state)
+        start_epoch = meta.get("epoch", 0)
+        best = meta.get("best_metric")
+
+    def train_batches(epoch):
+        return _attach_features(
+            batch_iterator(train_ds, batch_size, shuffle=True,
+                           seed=seed * 1000 + epoch, drop_last=True,
+                           num_threads=num_threads),
+            extractor, train_table,
+        )
+
+    def val_batches():
+        return _attach_features(
+            batch_iterator(val_ds, batch_size, num_threads=num_threads),
+            extractor, val_table,
+        )
+
+    return train_loop(
+        state,
+        train_step=train_step,
+        eval_step=eval_step,
+        train_batches=train_batches,
+        val_batches=val_batches,
+        lr_schedule=poly_lr(lr, epochs),
+        epochs=epochs,
+        output_dir=output_dir,
+        task="segmentation",
+        mesh=mesh,
+        rng=jax.random.key(seed + 1),
+        save_every=save_every,
+        patience=patience,
+        start_epoch=start_epoch,
+        best_metric=best,
+        arch_config=ARCH_CONFIG,
+        verbose=verbose,
+    )
+
+
+def evaluate(
+    model_path: str | Path,
+    data_dir: str | Path,
+    output_dir: str | Path,
+    *,
+    batch_size: int = 16,
+    dtype=jnp.bfloat16,
+    clip_model: str = "ViT-B/16",
+    clip_weights: Optional[str] = None,
+    use_clip_features: bool = True,
+    verbose: bool = True,
+) -> Dict:
+    model = build_model(dtype)
+    abstract = model.init(
+        jax.random.key(0), jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 512))
+    )["params"]
+    params = restore_params(model_path, abstract)
+
+    data_dir = Path(data_dir)
+    test_ds = PetDataset(
+        data_dir / "Test" / "resized",
+        data_dir / "Test" / "processed_labels",
+        include_augmented=False,
+        clip_dir=data_dir / "Test" / "resized_clip"
+        if (data_dir / "Test" / "resized_clip").exists() else data_dir / "Test" / "resized",
+    )
+    if verbose:
+        print(f"Test dataset size: {len(test_ds)} images")
+        if not use_clip_features:
+            print("NOTE: evaluating WITHOUT clip conditioning "
+                  "(reproducing the reference evaluator quirk)")
+
+    extractor = (
+        ClipFeatureExtractor(clip_model, clip_weights, dtype=dtype)
+        if use_clip_features else None
+    )
+
+    @jax.jit
+    def forward(params, images, clip_features):
+        logits = model.apply({"params": params}, images, clip_features,
+                             deterministic=True)
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    @jax.jit
+    def forward_plain(params, images):
+        logits = model.apply({"params": params}, images, None, deterministic=True)
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    def predict_fn(batch):
+        images = jnp.asarray(batch["image"], dtype)
+        if extractor is None:
+            return forward_plain(params, images)
+        cf = extractor(jnp.asarray(batch["clip_image"]))
+        return forward(params, images, cf)
+
+    return evaluate_segmentation(
+        predict_fn, test_ds, batch_size, output_dir, verbose=verbose
+    )
