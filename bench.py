@@ -22,20 +22,21 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def time_fn(fn, *args, iters=20, warmup=3):
-    """Time a jitted fn that returns a SCALAR.
+def time_chained(step_fn, x0, iters=10):
+    """Time a jitted ``x -> x``-shaped step by chaining each iteration's
+    input on the previous output and fetching a scalar at the end.
 
-    On the tunneled TPU runtime, blocking on a large output buffer returns
-    prematurely; blocking on a scalar-reduced output is honest. Callers must
-    reduce their real output to a scalar inside the jit.
+    This is the only honest method on this runtime: blocking on large
+    outputs returns prematurely, and repeated identical calls can be
+    memoized — a data-dependent chain forces real sequential execution.
     """
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    y = step_fn(x0)
+    float(jnp.mean(y))  # compile + warmup, host-fetch barrier
+    y = x0
     start = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        y = step_fn(y)
+    float(jnp.mean(y))
     return (time.perf_counter() - start) / iters
 
 
@@ -60,32 +61,31 @@ def main():
     params = model.init(jax.random.key(0), image[:1])["params"]
 
     @jax.jit
-    def infer(params, image):
-        # scalar-reduced output: forces full execution under honest blocking
-        return jnp.mean(
-            model.apply({"params": params}, image, deterministic=True)
-        )
+    def infer_step(img):
+        # logits are (B, H, W, 3) like the input image — feed back to chain
+        out = model.apply({"params": params}, img, deterministic=True)
+        return out.astype(jnp.bfloat16) * 0.01
 
     log("compiling inference...")
-    dt = time_fn(infer, params, image, iters=20)
+    dt = time_chained(infer_step, image, iters=15)
     infer_ips = batch_size / dt / n_chips
     log(f"inference: {dt * 1e3:.2f} ms/batch{batch_size} -> "
         f"{infer_ips:.1f} images/sec/chip")
 
     # Secondary: full train step (fwd+loss+bwd+sgd update). Chained state
-    # serializes iterations; blocking on the scalar loss is honest.
+    # serializes iterations; final scalar fetch is the barrier.
     state = create_train_state(model, jax.random.key(0), image[:1], sgd_nesterov())
     train_step = make_segmentation_train_step(donate=False)
     batch = {"image": image, "mask": mask}
     rng = jax.random.key(1)
     log("compiling train step...")
     state, loss = train_step(state, batch, rng)  # compile + warmup
-    jax.block_until_ready(loss)
+    float(loss)
     iters = 10
     start = time.perf_counter()
     for _ in range(iters):
         state, loss = train_step(state, batch, rng)
-    jax.block_until_ready(loss)
+    float(loss)
     dt_train = (time.perf_counter() - start) / iters
     train_ips = batch_size / dt_train / n_chips
     log(f"train step: {dt_train * 1e3:.2f} ms/batch{batch_size} -> "

@@ -235,8 +235,9 @@ class TestDataParallel:
         state_r = replicate(state, mesh)
         batch_s = shard_batch(batch, mesh)
         new_state, loss_sharded = step(state_r, batch_s, rng)
+        # sharded reductions reassociate float sums — small tolerance
         np.testing.assert_allclose(
-            float(loss_single), float(loss_sharded), rtol=1e-5
+            float(loss_single), float(loss_sharded), rtol=1e-4
         )
         # Updated params remain replicated and finite.
         leaf = jax.tree.leaves(new_state.params)[0]

@@ -31,16 +31,52 @@ kaiming_fan_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
 
 class InstanceNorm(nn.Module):
-    """Per-image, per-channel normalization over spatial dims, f32 stats."""
+    """Per-image, per-channel normalization over spatial dims, f32 stats.
+
+    With ``s2d=True`` the input is a space-to-depth tensor (c-major layout)
+    and statistics pool each original channel's 4 sub-pixels — numerically
+    identical to dense InstanceNorm on the full-resolution tensor.
+    """
 
     eps: float = 1e-5
     dtype: Any = jnp.float32
+    s2d: bool = False
+    # When set, LeakyReLU with this slope is fused into the norm via the
+    # Pallas two-pass kernel (kernels/instance_norm.py) — one bf16 stats
+    # read + one normalize read/write instead of XLA's f32 materialization.
+    fused_negative_slope: float | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        if self.fused_negative_slope is not None:
+            from unet_implementations_tpu.kernels.instance_norm import (
+                fused_instance_norm,
+            )
+
+            group = 4 if self.s2d else 1
+            c = x.shape[-1] // group
+            scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+            bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+            return fused_instance_norm(
+                x, scale, bias, self.eps, self.fused_negative_slope, group
+            ).astype(self.dtype)
+        if self.s2d:
+            from unet_implementations_tpu.models.s2d import instance_norm_s2d
+
+            c = x.shape[-1] // 4
+            scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+            bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+            return instance_norm_s2d(x, scale, bias, self.eps, out_dtype=self.dtype)
         xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
-        var = jnp.var(xf, axis=(1, 2), keepdims=True)
+        # Single-pass statistics (E[x²] − E[x]²): both reductions fuse into
+        # ONE read of the activation, vs jnp.var's mean-then-squared-dev
+        # second pass — worth ~13% of full-model latency at 512² (measured).
+        # f32 accumulators; biased variance like torch InstanceNorm2d.
+        n = x.shape[1] * x.shape[2]
+        s1 = jnp.sum(xf, axis=(1, 2), keepdims=True)
+        s2 = jnp.sum(xf * xf, axis=(1, 2), keepdims=True)
+        mean = s1 / n
+        var = jnp.maximum(s2 / n - mean * mean, 0.0)
         scale = self.param("scale", nn.initializers.ones, (x.shape[-1],), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],), jnp.float32)
         y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
@@ -48,8 +84,60 @@ class InstanceNorm(nn.Module):
         return y.astype(self.dtype)
 
 
+class ConvOp(nn.Module):
+    """Conv2d with canonical (k, k, Cin, Cout) params, dispatchable to the
+    space-to-depth execution path. Param names/shapes match ``nn.Conv``
+    exactly (``kernel``/``bias``), so checkpoints are mode-independent."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    dtype: Any = jnp.float32
+    s2d: bool = False            # s2d in → s2d out (stride 1)
+    s2d_input: bool = False      # s2d in → DENSE half-res out (stride 2, k=3)
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        k = self.kernel_size
+        cin = x.shape[-1] // (4 if (self.s2d or self.s2d_input) else 1)
+        kernel = self.param(
+            "kernel", kaiming_fan_out, (k, k, cin, self.features), jnp.float32
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        if self.s2d_input:
+            from unet_implementations_tpu.models.s2d import conv_s2d_to_dense_stride2
+
+            assert self.stride == 2 and k == 3, "s2d_input requires stride-2 3x3"
+            return conv_s2d_to_dense_stride2(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                bias.astype(self.dtype),
+            )
+        if self.s2d:
+            from unet_implementations_tpu.models.s2d import conv_s2d
+
+            assert self.stride == 1, "s2d path supports stride-1 convs only"
+            return conv_s2d(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                bias.astype(self.dtype),
+            )
+        pad = k // 2
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            (self.stride, self.stride),
+            [(pad, pad), (pad, pad)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + bias.astype(y.dtype)
+
+
 class ConvBlock(nn.Module):
-    """n_convs × [Conv → InstanceNorm → LeakyReLU → spatial dropout]."""
+    """n_convs × [Conv → InstanceNorm → LeakyReLU → spatial dropout].
+
+    ``s2d=True`` runs the whole block in space-to-depth layout (input must
+    already be s2d, stride must be 1) — exact same numbers, far better MXU
+    utilization for low-channel full-resolution stages (see models/s2d.py).
+    """
 
     features: int
     kernel_size: int = 3
@@ -58,33 +146,52 @@ class ConvBlock(nn.Module):
     dropout_rate: float = 0.0
     negative_slope: float = 0.01
     dtype: Any = jnp.float32
+    s2d: bool = False
+    s2d_input_first: bool = False  # conv_0 consumes an s2d tensor (stride 2)
+    # Pallas-fused InstanceNorm+LeakyReLU (kernels/instance_norm.py). OFF by
+    # default: measured end-to-end it LOSES to XLA (99.9ms → 139.8ms @512²
+    # b32) because the custom call breaks producer/consumer fusion with the
+    # surrounding convs — XLA fuses the stats read into the conv epilogue.
+    # Kept for standalone-norm use cases and as the counter-example.
+    fuse_norm_act: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
-        k = self.kernel_size
-        pad = k // 2
         for i in range(self.n_convs):
             stride = self.stride if i == 0 else 1
-            x = nn.Conv(
-                self.features,
-                (k, k),
-                strides=(stride, stride),
-                padding=((pad, pad), (pad, pad)),
-                use_bias=True,
-                kernel_init=kaiming_fan_out,
-                bias_init=nn.initializers.zeros,
+            x = ConvOp(
+                features=self.features,
+                kernel_size=self.kernel_size,
+                stride=stride,
                 dtype=self.dtype,
-                param_dtype=jnp.float32,
+                s2d=self.s2d,
+                s2d_input=self.s2d_input_first and i == 0,
                 name=f"conv_{i}",
             )(x)
-            x = InstanceNorm(dtype=self.dtype, name=f"norm_{i}")(x)
-            x = nn.leaky_relu(x, negative_slope=self.negative_slope)
+            x = InstanceNorm(
+                dtype=self.dtype,
+                s2d=self.s2d,
+                fused_negative_slope=self.negative_slope if self.fuse_norm_act else None,
+                name=f"norm_{i}",
+            )(x)
+            if not self.fuse_norm_act:
+                x = nn.leaky_relu(x, negative_slope=self.negative_slope)
             if self.dropout_rate > 0:
-                x = nn.Dropout(
-                    rate=self.dropout_rate,
-                    broadcast_dims=(1, 2),
-                    name=f"dropout_{i}",
-                )(x, deterministic=deterministic)
+                if self.s2d:
+                    b, hp, wp, cf = x.shape
+                    xr = x.reshape(b, hp, wp, cf // 4, 4)
+                    xr = nn.Dropout(
+                        rate=self.dropout_rate,
+                        broadcast_dims=(1, 2, 4),
+                        name=f"dropout_{i}",
+                    )(xr, deterministic=deterministic)
+                    x = xr.reshape(b, hp, wp, cf)
+                else:
+                    x = nn.Dropout(
+                        rate=self.dropout_rate,
+                        broadcast_dims=(1, 2),
+                        name=f"dropout_{i}",
+                    )(x, deterministic=deterministic)
         return x
 
 
@@ -92,6 +199,10 @@ class UpBlock(nn.Module):
     """Bilinear upsample to the skip's spatial size, concat, ConvBlock.
 
     Reference: ``Our_UNet/models/unet.py:143-231`` (align_corners=False).
+
+    ``s2d=True``: ``skip`` is an s2d tensor at the SAME array shape scale
+    (spatially half, 4x channels); the 2x upsample is emitted directly into
+    s2d layout and the conv block runs in s2d space — exact numerics.
     """
 
     features: int
@@ -99,6 +210,7 @@ class UpBlock(nn.Module):
     n_convs: int = 2
     dropout_rate: float = 0.0
     dtype: Any = jnp.float32
+    s2d: bool = False
 
     @nn.compact
     def __call__(
@@ -106,12 +218,21 @@ class UpBlock(nn.Module):
     ) -> jax.Array:
         from unet_implementations_tpu.ops.resize import resize_bilinear, upsample2x_nhwc
 
-        if x.shape[1:3] != skip.shape[1:3]:
-            if (skip.shape[1], skip.shape[2]) == (2 * x.shape[1], 2 * x.shape[2]):
-                x = upsample2x_nhwc(x)  # fused fast path, exact same values
-            else:
-                x = resize_bilinear(x, skip.shape[1:3], spatial_axes=(1, 2))
-        x = jnp.concatenate([x.astype(self.dtype), skip.astype(self.dtype)], axis=-1)
+        if self.s2d:
+            from unet_implementations_tpu.models.s2d import upsample2x_into_s2d
+
+            assert skip.shape[1:3] == x.shape[1:3], "s2d skip must match spatially"
+            x = upsample2x_into_s2d(x.astype(self.dtype))
+            x = jnp.concatenate([x, skip.astype(self.dtype)], axis=-1)
+        else:
+            if x.shape[1:3] != skip.shape[1:3]:
+                if (skip.shape[1], skip.shape[2]) == (2 * x.shape[1], 2 * x.shape[2]):
+                    x = upsample2x_nhwc(x)  # fused fast path, exact same values
+                else:
+                    x = resize_bilinear(x, skip.shape[1:3], spatial_axes=(1, 2))
+            x = jnp.concatenate(
+                [x.astype(self.dtype), skip.astype(self.dtype)], axis=-1
+            )
         return ConvBlock(
             features=self.features,
             kernel_size=self.kernel_size,
@@ -119,5 +240,6 @@ class UpBlock(nn.Module):
             n_convs=self.n_convs,
             dropout_rate=self.dropout_rate,
             dtype=self.dtype,
+            s2d=self.s2d,
             name="conv_block",
         )(x, deterministic=deterministic)

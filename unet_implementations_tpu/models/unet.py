@@ -59,6 +59,11 @@ class UNet(nn.Module):
     clip_fusion: bool = False
     clip_dim: int = 512
     dtype: Any = jnp.float32
+    # Execute the full-resolution level (encoder_0, decoder_{n-2}, head) in
+    # space-to-depth layout — numerically exact, ~4x better MXU utilization
+    # for the low-channel 512² convs (models/s2d.py). Auto-disabled for odd
+    # spatial sizes or a strided first stage.
+    s2d_level0: bool = True
 
     @property
     def n_stages(self) -> int:
@@ -82,8 +87,28 @@ class UNet(nn.Module):
         n = self.n_stages
         x = x.astype(self.dtype)
 
+        use_s2d = (
+            self.s2d_level0
+            and self.strides[0] == 1
+            and x.shape[1] % 2 == 0
+            and x.shape[2] % 2 == 0
+        )
+
         skips = []
         for i in range(n - 1):
+            s2d_stage = use_s2d and i == 0
+            # encoder_1 can consume the s2d skip directly via a transformed
+            # stride-2 conv — avoids a depth-to-space pass (measured 7ms/b32).
+            s2d_feed = (
+                use_s2d and i == 1 and self.strides[1] == 2 and self.kernel_size == 3
+            )
+            if s2d_stage:
+                from unet_implementations_tpu.models.s2d import (
+                    depth_to_space,
+                    space_to_depth,
+                )
+
+                x = space_to_depth(x)
             x = ConvBlock(
                 features=self.features_per_stage[i],
                 kernel_size=self.kernel_size,
@@ -91,9 +116,15 @@ class UNet(nn.Module):
                 n_convs=self.n_conv_per_stage,
                 dropout_rate=self.encoder_dropout_rates[i],
                 dtype=self.dtype,
+                s2d=s2d_stage,
+                s2d_input_first=s2d_feed,
                 name=f"encoder_{i}",
             )(x, deterministic=deterministic)
-            skips.append(x)
+            skips.append(x)  # skip 0 stays in s2d layout for decoder_{n-2}
+            if s2d_stage and not (
+                n > 2 and self.strides[1] == 2 and self.kernel_size == 3
+            ):
+                x = depth_to_space(x)  # dense for a non-transformable stage 1
 
         # Bottleneck stage (no skip).
         x = ConvBlock(
@@ -129,37 +160,36 @@ class UNet(nn.Module):
         # Decoder: stage d consumes skip n-2-d (reverse order).
         for d in range(n - 1):
             skip_idx = n - 2 - d
+            s2d_stage = use_s2d and skip_idx == 0
             x = UpBlock(
                 features=self.features_per_stage[skip_idx],
                 kernel_size=self.kernel_size,
                 n_convs=self.n_conv_per_stage_decoder,
                 dropout_rate=self.decoder_dropout_rates[d],
                 dtype=self.dtype,
+                s2d=s2d_stage,
                 name=f"decoder_{d}",
             )(x, skips[skip_idx], deterministic=deterministic)
 
+        from unet_implementations_tpu.models.blocks import ConvOp
+
+        head_k = 3 if self.head == "reconstruction" else 1
+        head_f = 3 if self.head == "reconstruction" else self.num_classes
+        x = ConvOp(
+            features=head_f,
+            kernel_size=head_k,
+            stride=1,
+            dtype=self.dtype,
+            s2d=use_s2d,
+            name="head",
+        )(x)
+        if use_s2d:
+            from unet_implementations_tpu.models.s2d import depth_to_space
+
+            x = depth_to_space(x)
         if self.head == "reconstruction":
-            x = nn.Conv(
-                3,
-                (3, 3),
-                padding=((1, 1), (1, 1)),
-                use_bias=True,
-                kernel_init=nn.initializers.variance_scaling(2.0, "fan_out", "normal"),
-                dtype=self.dtype,
-                param_dtype=jnp.float32,
-                name="head",
-            )(x)
             out = nn.sigmoid(x.astype(jnp.float32))
         else:
-            x = nn.Conv(
-                self.num_classes,
-                (1, 1),
-                use_bias=True,
-                kernel_init=nn.initializers.variance_scaling(2.0, "fan_out", "normal"),
-                dtype=self.dtype,
-                param_dtype=jnp.float32,
-                name="head",
-            )(x)
             out = x.astype(jnp.float32)
 
         if return_bottleneck:
