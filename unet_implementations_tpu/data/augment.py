@@ -84,6 +84,80 @@ def policy_arrays() -> Dict[str, jnp.ndarray]:
     return {k: jnp.asarray(v, jnp.float32) for k, v in POLICY.items()}
 
 
+# Mapping from the reference YAML's nested keys → our flat policy table
+# (data_augmentation/config/augmentation_config.yaml structure).
+_YAML_KEYMAP = {
+    "hflip_prob": ("horizontal_flip_prob",),
+    "ssr_prob": ("shift_scale_rotate_prob",),
+    "shift_limit": ("shift_limit",),
+    "scale_limit": ("scale_limit",),
+    "rotate_limit": ("rotate_limit",),
+    "rrc_prob": ("random_resized_crop", "prob"),
+    "rrc_scale_min": ("random_resized_crop", "scale", 0),
+    "dropout_prob": ("coarse_dropout", "prob"),
+    "dropout_max": ("coarse_dropout", "max_height"),
+    "distort_prob": ("elastic_transform_prob",),
+    "elastic_alpha": ("elastic", "alpha"),
+    "elastic_sigma": ("elastic", "sigma"),
+    "grid_distort_limit": ("grid_distortion", "distort_limit"),
+    "optical_distort_limit": ("optical_distortion", "distort_limit"),
+    "perspective_prob": ("perspective", "prob"),
+    "perspective_scale": ("perspective", "scale", 1),
+    "color_prob": ("color_transform_prob",),
+    "brightness_limit": ("brightness_contrast", "brightness_limit"),
+    "contrast_lo": ("brightness_contrast", "contrast_limit", 0),
+    "contrast_hi": ("brightness_contrast", "contrast_limit", 1),
+    "hue_shift": ("hsv", "hue_shift_limit"),
+    "sat_shift": ("hsv", "sat_shift_limit"),
+    "val_shift": ("hsv", "val_shift_limit"),
+    "rgb_shift": ("rgb_shift", "r_shift_limit"),
+    "hist_prob": ("clahe_equalize", "prob"),
+    "noise_prob": ("noise_transform_prob",),
+    "gauss_var_max": ("gauss_noise", "var_limit", 1),
+    "saltpepper_prob": ("salt_pepper", "prob"),
+    "sp_amount_max": ("salt_pepper", "salt_p", 1),
+    "iso_prob": ("iso_noise", "prob"),
+    "iso_intensity_max": ("iso_noise", "intensity", 1),
+    "lighting_prob": ("lighting_transform_prob",),
+    "fog_coef_max": ("fog", "fog_coef_upper"),
+}
+
+
+def load_policy_yaml(path) -> Dict[str, Tuple[float, float]]:
+    """Build a policy table from a reference-format augmentation YAML.
+
+    Keys absent from the YAML keep the built-in defaults. Mutates nothing;
+    assign the result to ``POLICY`` (module-level) or pass through a custom
+    ``policy_arrays``-style dict to ``augment_batch`` wrappers.
+    """
+    import yaml
+
+    with open(path) as f:
+        cfg = yaml.safe_load(f)
+
+    def lookup(tree, keypath):
+        node = tree
+        for k in keypath:
+            if isinstance(k, int):
+                node = node[k]
+            else:
+                if not isinstance(node, dict) or k not in node:
+                    return None
+                node = node[k]
+        return float(node) if isinstance(node, (int, float)) else None
+
+    policy = dict(POLICY)
+    for our_key, keypath in _YAML_KEYMAP.items():
+        cat_v = lookup(cfg.get("cat", {}), keypath)
+        dog_v = lookup(cfg.get("dog", {}), keypath)
+        default = POLICY[our_key]
+        policy[our_key] = (
+            cat_v if cat_v is not None else default[0],
+            dog_v if dog_v is not None else default[1],
+        )
+    return policy
+
+
 # ---------------------------------------------------------------------------
 # Geometry: homography composition + displacement field + one sampling pass
 # ---------------------------------------------------------------------------

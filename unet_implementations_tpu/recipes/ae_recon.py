@@ -140,6 +140,25 @@ def train(
         start_epoch = meta.get("epoch", 0)
         best = meta.get("best_metric")
 
+    # V5 parity: dump original/reconstruction comparisons at every
+    # checkpoint (reference reconstruction/src/train.py:616-672).
+    def save_recon_samples(ckpt_state, epoch):
+        try:
+            from unet_implementations_tpu.utils.visualize import save_comparison_grid
+
+            first = next(batch_iterator(val_ds, min(4, batch_size)))
+            recon = np.asarray(ckpt_state.apply_fn(
+                {"params": ckpt_state.params},
+                jnp.asarray(first["image"], dtype), deterministic=True,
+            ), np.float32)
+            vis_dir = output_dir / "reconstructions"
+            vis_dir.mkdir(exist_ok=True)
+            save_comparison_grid(first["image"], recon,
+                                 vis_dir / f"epoch_{epoch}.png")
+        except Exception as e:  # pragma: no cover - visualization is best-effort
+            if verbose:
+                print(f"reconstruction snapshot failed: {e}")
+
     result = train_loop(
         state,
         train_step=train_step,
@@ -148,6 +167,7 @@ def train(
             train_ds, batch_size, shuffle=True, seed=seed * 1000 + epoch,
             drop_last=True, num_threads=num_threads),
         val_batches=lambda: batch_iterator(val_ds, batch_size, num_threads=num_threads),
+        checkpoint_callback=save_recon_samples,
         lr_schedule=cosine_lr(lr, epochs),
         epochs=epochs,
         output_dir=output_dir,
@@ -193,6 +213,19 @@ def evaluate(
         lambda batch: forward(params, jnp.asarray(batch["image"], dtype)),
         test_ds, batch_size, output_dir, verbose=verbose,
     )
+
+    # Comparison artifacts (reference E5/V4: original | recon | error map,
+    # reconstruction/src/evaluate.py:268-378 + utils/visualize.py).
+    if output_dir is not None and len(test_ds) > 0:
+        from unet_implementations_tpu.data.loader import batch_iterator
+        from unet_implementations_tpu.utils.visualize import save_comparison_grid
+
+        first = next(batch_iterator(test_ds, min(8, batch_size)))
+        recon = np.asarray(forward(params, jnp.asarray(first["image"], dtype)),
+                           np.float32)
+        save_comparison_grid(
+            first["image"], recon, Path(output_dir) / "reconstruction_comparison.png"
+        )
 
     if analyze_latent_space:
         results["latent_analysis"] = analyze_latent(

@@ -60,6 +60,8 @@ def train_loop(
     start_epoch: int = 0,
     best_metric: Optional[float] = None,
     arch_config: Optional[Dict] = None,
+    profile_dir: Optional[str | Path] = None,
+    checkpoint_callback: Optional[Callable[[TrainState, int], None]] = None,
     verbose: bool = True,
 ) -> Dict[str, Any]:
     """Run the full training loop; returns {'state', 'best_metric', 'epochs_run'}.
@@ -91,13 +93,36 @@ def train_loop(
         state = state.replace(opt_state=set_learning_rate(state.opt_state, lr))
 
         # --- train epoch ---------------------------------------------------
+        # Per-phase wall timing (the reference prints data/step breakdowns,
+        # Our_UNet/src/train.py:617-678 — informational only; note that the
+        # device runs async, so "step" time includes queued device work).
         train_loss_sum, n_train = 0.0, 0
-        for batch in train_batches(epoch):
+        data_time, step_time = 0.0, 0.0
+        profiling = profile_dir is not None and epoch == start_epoch
+        if profiling:
+            jax.profiler.start_trace(str(profile_dir))
+        it = iter(train_batches(epoch))
+        while True:
+            t0 = time.time()
+            batch = next(it, None)
+            data_time += time.time() - t0
+            if batch is None:
+                break
             batch = shard_batch(batch, mesh)
+            t0 = time.time()
             state, loss = train_step(state, batch, rng)
-            train_loss_sum += float(loss)
+            train_loss_sum += float(loss)  # host sync per step
+            step_time += time.time() - t0
             n_train += 1
+            if profiling and n_train >= 3:
+                jax.profiler.stop_trace()
+                profiling = False
+        if profiling:
+            jax.profiler.stop_trace()
         train_loss = train_loss_sum / max(n_train, 1)
+        if verbose:
+            print(f"  Data loading time: {data_time:.2f}s")
+            print(f"  Train step time:   {step_time:.2f}s")
 
         # --- validation ----------------------------------------------------
         val = validate(state, eval_step, val_batches(), mesh, task)
@@ -140,6 +165,8 @@ def train_loop(
                     output_dir / "best_model", state, epoch + 1, best_metric,
                     arch_config,
                 )
+            if checkpoint_callback is not None:
+                checkpoint_callback(state, epoch + 1)
 
         epochs_run = epoch + 1
         if early_stopping(metric):
