@@ -142,6 +142,14 @@ def build_parser() -> argparse.ArgumentParser:
     clipimg = sub.add_parser("clip_resize")
     clipimg.add_argument("--data_dir", required=True)
     clipimg.add_argument("--size", type=int, default=224)
+
+    sanity = sub.add_parser("sanity_checks")
+    sanity.add_argument("--data_dir", required=True)
+    sanity.add_argument("--sample", type=int, default=None)
+
+    dl = sub.add_parser("download")
+    dl.add_argument("--raw_dir", required=True)
+    dl.add_argument("--archive", default=None)
     return parser
 
 
@@ -164,6 +172,22 @@ def main(argv=None):
             dog_augmentations=args.dog_augmentations, seed=args.seed,
         )
         print(stats)
+        return
+
+    if args.recipe == "sanity_checks":
+        from unet_implementations_tpu.data.sanity_checks import run_sanity_checks
+
+        reports = run_sanity_checks(args.data_dir, args.sample)
+        for r in reports:
+            print(r)
+        if not all(r.passed for r in reports):
+            raise SystemExit(1)
+        return
+
+    if args.recipe == "download":
+        from unet_implementations_tpu.data.download import download_and_extract
+
+        download_and_extract(args.raw_dir, args.archive)
         return
 
     if args.recipe == "clip_resize":
