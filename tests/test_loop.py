@@ -1,0 +1,122 @@
+"""Train-loop contract: CSV schema, best-model tracking, early stop, resume."""
+
+import csv
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from unet_implementations_tpu.data.synthetic import synthetic_batch
+from unet_implementations_tpu.models.unet import UNet
+from unet_implementations_tpu.training import (
+    create_train_state,
+    make_reconstruction_train_step,
+    make_reconstruction_eval_step,
+    make_segmentation_eval_step,
+    make_segmentation_train_step,
+    poly_lr,
+    sgd_nesterov,
+    adam_l2,
+    cosine_lr,
+)
+from unet_implementations_tpu.training.loop import train_loop
+
+
+def tiny(head="segmentation"):
+    return UNet(features_per_stage=(8, 16), strides=(1, 2),
+                encoder_dropout_rates=(0.0, 0.0), decoder_dropout_rates=(0.0,),
+                head=head)
+
+
+def batches(task="segmentation"):
+    recon = task == "reconstruction"
+    def train_batches(epoch):
+        for i in range(2):
+            yield synthetic_batch(epoch * 10 + i, 4, 32, reconstruction=recon)
+    def val_batches():
+        for i in range(2):
+            yield synthetic_batch(1000 + i, 4, 32, reconstruction=recon)
+    return train_batches, val_batches
+
+
+class TestSegmentationLoop:
+    def test_artifacts_and_schema(self, tmp_path):
+        model = tiny()
+        b = synthetic_batch(0, 2, 32)
+        state = create_train_state(model, jax.random.key(0),
+                                   jnp.asarray(b["image"]), sgd_nesterov())
+        tb, vb = batches()
+        result = train_loop(
+            state,
+            train_step=make_segmentation_train_step(donate=False),
+            eval_step=make_segmentation_eval_step(),
+            train_batches=tb, val_batches=vb,
+            lr_schedule=poly_lr(5e-3, 3), epochs=3,
+            output_dir=tmp_path, save_every=10, patience=15, verbose=False,
+        )
+        assert result["epochs_run"] == 3
+        with open(tmp_path / "training_log.csv") as f:
+            rows = list(csv.DictReader(f))
+        assert len(rows) == 3
+        assert list(rows[0].keys()) == [
+            "epoch", "train_loss", "val_loss", "dice_background", "dice_cat",
+            "dice_dog", "dice_mean_foreground", "learning_rate", "epoch_time",
+        ]
+        # poly LR logged: epoch 2 lr = 5e-3*(1-1/3)^0.9
+        np.testing.assert_allclose(
+            float(rows[1]["learning_rate"]), 5e-3 * (2 / 3) ** 0.9, rtol=1e-4
+        )
+        # best model saved (first epoch is always an improvement from 0)
+        assert (tmp_path / "best_model").exists()
+
+    def test_resume_continues_epochs(self, tmp_path):
+        from unet_implementations_tpu.training.checkpoint import (
+            restore_checkpoint, save_checkpoint)
+
+        model = tiny()
+        b = synthetic_batch(0, 2, 32)
+        state = create_train_state(model, jax.random.key(0),
+                                   jnp.asarray(b["image"]), sgd_nesterov())
+        save_checkpoint(tmp_path / "ckpt", state, epoch=2, best_metric=0.4)
+        restored, meta = restore_checkpoint(tmp_path / "ckpt", state)
+        tb, vb = batches()
+        result = train_loop(
+            restored,
+            train_step=make_segmentation_train_step(donate=False),
+            eval_step=make_segmentation_eval_step(),
+            train_batches=tb, val_batches=vb,
+            lr_schedule=poly_lr(5e-3, 4), epochs=4,
+            output_dir=tmp_path, verbose=False,
+            start_epoch=meta["epoch"], best_metric=meta["best_metric"],
+        )
+        assert result["epochs_run"] == 4  # epochs 3 and 4 only
+        with open(tmp_path / "training_log.csv") as f:
+            rows = list(csv.DictReader(f))
+        assert [r["epoch"] for r in rows] == ["3", "4"]
+
+
+class TestReconstructionLoop:
+    def test_ae_schema_and_checkpoint_callback(self, tmp_path):
+        model = tiny("reconstruction")
+        b = synthetic_batch(0, 2, 32, reconstruction=True)
+        state = create_train_state(model, jax.random.key(0),
+                                   jnp.asarray(b["image"]), adam_l2())
+        tb, vb = batches("reconstruction")
+        calls = []
+        result = train_loop(
+            state,
+            train_step=make_reconstruction_train_step(donate=False),
+            eval_step=make_reconstruction_eval_step(),
+            train_batches=tb, val_batches=vb,
+            lr_schedule=cosine_lr(1e-3, 2), epochs=2,
+            output_dir=tmp_path, task="reconstruction", verbose=False,
+            save_every=1, checkpoint_callback=lambda s, e: calls.append(e),
+        )
+        with open(tmp_path / "training_log.csv") as f:
+            rows = list(csv.DictReader(f))
+        assert list(rows[0].keys()) == [
+            "epoch", "train_loss", "val_loss", "val_mse", "val_psnr",
+            "learning_rate", "epoch_time",
+        ]
+        assert calls  # callback fired on checkpoint epochs
+        assert result["best_metric"] <= float(rows[0]["val_loss"]) + 1e-9

@@ -1,0 +1,117 @@
+"""Torch↔Flax UNet checkpoint conversion.
+
+Lets users of the reference PyTorch suite bring their trained weights into
+this framework (and validates architecture parity bit-for-bit). The torch
+state-dict layout (``Our_UNet/models/unet.py``):
+
+    encoder_stages.{i}.block.{idx}.weight/bias     Conv2d / InstanceNorm2d
+    decoder_stages.{d}.conv_block.block.{idx}....
+    segmentation_output.weight/bias                (1x1 head)
+    reconstruction_output.0.weight/bias            (AE: Conv2d + Sigmoid)
+    clip_fusion_conv.{0,1}.weight/bias             (CLIP variant fusion)
+
+Inside each ``block`` Sequential, every conv contributes
+[Conv2d, InstanceNorm2d, LeakyReLU(, SpatialDropout2d)] — activation/dropout
+own no params but OCCUPY indices, so the per-conv stride is 3 without
+dropout and 4 with (dropout present iff the stage's rate > 0).
+
+Weight layout maps: Conv2d (out,in,kh,kw) → HWIO; InstanceNorm weight/bias →
+scale/bias.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+import jax
+import numpy as np
+
+from unet_implementations_tpu.models.unet import UNet
+
+
+def _conv_np(w) -> np.ndarray:
+    return np.transpose(np.asarray(w, dtype=np.float32), (2, 3, 1, 0))
+
+
+def torch_unet_state_dict_to_params(
+    state_dict: Dict[str, "np.ndarray"],
+    model: UNet,
+) -> Dict:
+    """Convert a reference UNet/Autoencoder torch state dict to our tree.
+
+    ``state_dict`` values may be torch tensors or numpy arrays. The returned
+    tree matches ``model.init(...)['params']`` exactly (names, shapes).
+    """
+
+    def get(name):
+        v = state_dict[name]
+        if hasattr(v, "detach"):
+            v = v.detach().cpu().numpy()
+        return np.asarray(v, np.float32)
+
+    n = model.n_stages
+    params: Dict = {}
+
+    def convert_block(prefix_t: str, n_convs: int, dropout_rate: float) -> Dict:
+        step = 4 if dropout_rate > 0 else 3
+        out = {}
+        for j in range(n_convs):
+            conv_idx = j * step
+            norm_idx = j * step + 1
+            out[f"conv_{j}"] = {
+                "kernel": _conv_np(get(f"{prefix_t}.block.{conv_idx}.weight")),
+                "bias": get(f"{prefix_t}.block.{conv_idx}.bias"),
+            }
+            out[f"norm_{j}"] = {
+                "scale": get(f"{prefix_t}.block.{norm_idx}.weight"),
+                "bias": get(f"{prefix_t}.block.{norm_idx}.bias"),
+            }
+        return out
+
+    for i in range(n):
+        params[f"encoder_{i}"] = convert_block(
+            f"encoder_stages.{i}", model.n_conv_per_stage,
+            model.encoder_dropout_rates[i],
+        )
+    for d in range(n - 1):
+        params[f"decoder_{d}"] = {
+            "conv_block": convert_block(
+                f"decoder_stages.{d}.conv_block",
+                model.n_conv_per_stage_decoder,
+                model.decoder_dropout_rates[d],
+            )
+        }
+
+    if model.head == "reconstruction":
+        params["head"] = {
+            "kernel": _conv_np(get("reconstruction_output.0.weight")),
+            "bias": get("reconstruction_output.0.bias"),
+        }
+    else:
+        params["head"] = {
+            "kernel": _conv_np(get("segmentation_output.weight")),
+            "bias": get("segmentation_output.bias"),
+        }
+
+    if model.clip_fusion and "clip_fusion_conv.0.weight" in state_dict:
+        params["clip_fusion_conv"] = {
+            "kernel": _conv_np(get("clip_fusion_conv.0.weight")),
+            "bias": get("clip_fusion_conv.0.bias"),
+        }
+        params["clip_fusion_norm"] = {
+            "scale": get("clip_fusion_conv.1.weight"),
+            "bias": get("clip_fusion_conv.1.bias"),
+        }
+
+    import jax.numpy as jnp
+
+    return jax.tree.map(jnp.asarray, params)
+
+
+def load_torch_checkpoint(path, model: UNet) -> Dict:
+    """Load a reference ``.pth`` checkpoint (full dict or bare state dict)."""
+    import torch
+
+    ckpt = torch.load(str(path), map_location="cpu", weights_only=False)
+    sd = ckpt.get("model_state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
+    return torch_unet_state_dict_to_params(sd, model)
