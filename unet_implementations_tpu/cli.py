@@ -37,6 +37,9 @@ def _add_common_train_flags(p: argparse.ArgumentParser, batch_size: int = 32):
 
 
 def _add_seg_train_flags(p: argparse.ArgumentParser):
+    p.add_argument("--online_augment", action="store_true",
+                   help="augment on device per batch instead of reading the "
+                        "offline 5x/2x expansion")
     p.add_argument("--lr", type=float, default=5e-3)
     p.add_argument("--weight_decay", type=float, default=1e-4)
     p.add_argument("--momentum", type=float, default=0.99)
@@ -51,6 +54,7 @@ def _add_eval_flags(p: argparse.ArgumentParser):
     p.add_argument("--data_dir", required=True)
     p.add_argument("--output_dir", default="evaluation_results")
     p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--visualize_samples", type=int, default=3)
     p.add_argument("--f32", action="store_true")
 
 
@@ -206,14 +210,20 @@ def main(argv=None):
         from unet_implementations_tpu.recipes import our_unet as r
 
         if args.cmd == "train":
-            r.train(args.data_dir, args.output_dir, **_seg_train_kwargs(args))
+            r.train(args.data_dir, args.output_dir,
+                    online_augment=args.online_augment, **_seg_train_kwargs(args))
         else:
             r.evaluate(args.model_path, args.data_dir, args.output_dir,
-                       batch_size=args.batch_size, dtype=_dtype(args))
+                       batch_size=args.batch_size, dtype=_dtype(args),
+                       visualize_samples=args.visualize_samples)
     elif args.recipe == "clip_unet":
         from unet_implementations_tpu.recipes import clip_unet as r
 
         if args.cmd == "train":
+            if args.online_augment:
+                print("NOTE: --online_augment is not supported for clip_unet "
+                      "(embeddings must match the augmented pixels); using the "
+                      "offline expansion.")
             r.train(args.data_dir, args.output_dir,
                     clip_model=args.clip_model, clip_weights=args.clip_weights,
                     **_seg_train_kwargs(args))
@@ -221,7 +231,8 @@ def main(argv=None):
             r.evaluate(args.model_path, args.data_dir, args.output_dir,
                        batch_size=args.batch_size, dtype=_dtype(args),
                        clip_model=args.clip_model, clip_weights=args.clip_weights,
-                       use_clip_features=not args.no_clip_features)
+                       use_clip_features=not args.no_clip_features,
+                       visualize_samples=args.visualize_samples)
     elif args.recipe == "ae_recon":
         from unet_implementations_tpu.recipes import ae_recon as r
 
@@ -244,10 +255,12 @@ def main(argv=None):
         if args.cmd == "train":
             r.train(args.data_dir, args.output_dir,
                     pretrained_encoder=args.pretrained_encoder,
+                    online_augment=args.online_augment,
                     **_seg_train_kwargs(args))
         else:
             r.evaluate(args.model_path, args.data_dir, args.output_dir,
-                       batch_size=args.batch_size, dtype=_dtype(args))
+                       batch_size=args.batch_size, dtype=_dtype(args),
+                       visualize_samples=args.visualize_samples)
 
 
 if __name__ == "__main__":

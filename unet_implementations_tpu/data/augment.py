@@ -561,6 +561,32 @@ def augment_batch(
     )
 
 
+IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
+IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
+
+
+@jax.jit
+def augment_and_normalize(
+    key: jax.Array,
+    images01: jnp.ndarray,   # (B, H, W, 3) float32 in [0,1] (normalize=False loader)
+    masks: jnp.ndarray,      # (B, H, W) int32
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Online training-path augmentation: augment → ImageNet-normalize.
+
+    One fused device program per batch — the north-star "on-device XLA-fused
+    input pipeline". Class ids derive from mask contents (1 present → cat),
+    matching the offline router (``class_index_for``). Replaces the
+    reference's offline 5×/2× expansion with per-epoch stochastic transforms
+    of the same policy (class balance is instead handled by the per-class
+    aggressiveness, or by keeping the offline expansion — both supported).
+    """
+    has_cat = jnp.any(masks == 1, axis=(1, 2))
+    class_idx = jnp.where(has_cat, 0, 1).astype(jnp.int32)
+    img, m = augment_batch(key, images01, masks, class_idx)
+    img = (img - IMAGENET_MEAN) / IMAGENET_STD
+    return img, m
+
+
 # ---------------------------------------------------------------------------
 # Offline expansion (CLI parity with augment_dataset.py)
 # ---------------------------------------------------------------------------

@@ -45,11 +45,15 @@ class PetDataset:
         clip_size: int = 224,
         process_index: int = 0,
         process_count: int = 1,
+        normalize: bool = True,
     ):
+        # normalize=False leaves images in [0,1] — the online on-device
+        # augmentation path normalizes AFTER augmenting (data/augment.py).
         self.images_dir = Path(images_dir)
         self.masks_dir = Path(masks_dir) if masks_dir else None
         self.target_size = target_size
         self.mode = mode
+        self.normalize = normalize
         self.clip_dir = Path(clip_dir) if clip_dir else None
         self.clip_size = clip_size
 
@@ -117,7 +121,9 @@ class PetDataset:
             return item
 
         img_f = image.astype(np.float32) / 255.0
-        item["image"] = (img_f - IMAGENET_MEAN) / IMAGENET_STD
+        item["image"] = (
+            (img_f - IMAGENET_MEAN) / IMAGENET_STD if self.normalize else img_f
+        )
 
         if mask is not None:
             if mask.shape != (th, tw):

@@ -71,6 +71,7 @@ def train(
     dtype=jnp.bfloat16,
     use_mesh: bool = True,
     num_threads: int = 8,
+    online_augment: bool = False,
     verbose: bool = True,
 ) -> Dict:
     output_dir = Path(output_dir)
@@ -83,7 +84,11 @@ def train(
         save_every=save_every, seed=seed, dtype=str(dtype),
     ))
 
-    train_ds, val_ds = make_datasets(data_dir)
+    train_ds, val_ds = make_datasets(
+        data_dir,
+        include_augmented=not online_augment,
+        normalize_train=not online_augment,
+    )
     if verbose:
         print(f"Training dataset size: {len(train_ds)}")
         print(f"Validation dataset size: {len(val_ds)}")
@@ -122,13 +127,21 @@ def train(
         start_epoch = meta.get("epoch", 0)
         best = meta.get("best_metric")
 
+    def train_batches(epoch):
+        it = batch_iterator(
+            train_ds, batch_size, shuffle=True, seed=seed * 1000 + epoch,
+            drop_last=True, num_threads=num_threads)
+        if not online_augment:
+            return it
+        from unet_implementations_tpu.recipes.common import wrap_online_augment
+
+        return wrap_online_augment(it, epoch, seed)
+
     return train_loop(
         state,
         train_step=train_step,
         eval_step=eval_step,
-        train_batches=lambda epoch: batch_iterator(
-            train_ds, batch_size, shuffle=True, seed=seed * 1000 + epoch,
-            drop_last=True, num_threads=num_threads),
+        train_batches=train_batches,
         val_batches=lambda: batch_iterator(val_ds, batch_size, num_threads=num_threads),
         lr_schedule=poly_lr(lr, epochs),
         epochs=epochs,

@@ -226,6 +226,7 @@ def evaluate(
     clip_model: str = "ViT-B/16",
     clip_weights: Optional[str] = None,
     use_clip_features: bool = True,
+    visualize_samples: int = 0,
     verbose: bool = True,
 ) -> Dict:
     model = build_model(dtype)
@@ -272,5 +273,6 @@ def evaluate(
         return forward(params, images, cf)
 
     return evaluate_segmentation(
-        predict_fn, test_ds, batch_size, output_dir, verbose=verbose
+        predict_fn, test_ds, batch_size, output_dir,
+        visualize_samples=visualize_samples, verbose=verbose,
     )

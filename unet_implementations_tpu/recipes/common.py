@@ -27,6 +27,23 @@ from unet_implementations_tpu.ops.losses import psnr as psnr_fn, ssim as ssim_fn
 from unet_implementations_tpu.ops.metrics import SegmentationMetrics
 
 
+def wrap_online_augment(batch_iter, epoch: int, seed: int):
+    """Apply the on-device augmentation policy to a host batch iterator.
+
+    Expects batches from a ``normalize=False`` loader ([0,1] images);
+    yields ImageNet-normalized augmented batches (one fused device program
+    per batch — see ``data/augment.py``).
+    """
+    from unet_implementations_tpu.data.augment import augment_and_normalize
+
+    for i, batch in enumerate(batch_iter):
+        key = jax.random.fold_in(jax.random.key(seed + 7), epoch * 100003 + i)
+        img, msk = augment_and_normalize(
+            key, jnp.asarray(batch["image"]), jnp.asarray(batch["mask"])
+        )
+        yield dict(batch, image=img, mask=msk)
+
+
 def resize_nearest_np(arr: np.ndarray, size) -> np.ndarray:
     """Host-side nearest resize with torch/cv2 floor index semantics."""
     in_h, in_w = arr.shape[:2]
@@ -47,6 +64,8 @@ def evaluate_segmentation(
     dataset: PetDataset,
     batch_size: int = 32,
     output_dir: Optional[str | Path] = None,
+    visualize_samples: int = 0,
+    probs_fn: Optional[Callable[[Dict], np.ndarray]] = None,
     verbose: bool = True,
 ) -> Dict:
     """Dataset-level evaluation at original resolution.
@@ -54,9 +73,20 @@ def evaluate_segmentation(
     ``predict_fn(batch) -> (B, 512, 512) int predictions`` (device-side
     forward + argmax). Returns the reference's results dict and writes
     ``evaluation_results.json`` when ``output_dir`` is given.
+
+    ``visualize_samples > 0`` renders the first N batches (prediction
+    triptychs, error analysis, and — when ``probs_fn`` is given — confidence
+    maps) plus the dataset confusion matrix and class distribution, matching
+    the reference evaluator's ``--visualize_samples``
+    (``Our_UNet/src/evaluate.py:213-236``).
     """
+    viz_dir = None
+    if visualize_samples > 0 and output_dir is not None:
+        viz_dir = Path(output_dir) / "visualizations"
+        viz_dir.mkdir(parents=True, exist_ok=True)
+
     metrics = SegmentationMetrics(num_classes=3, ignore_index=255)
-    for batch in batch_iterator(dataset, batch_size, shuffle=False):
+    for i, batch in enumerate(batch_iterator(dataset, batch_size, shuffle=False)):
         preds = np.asarray(predict_fn(batch))
         masks = batch["mask"]
         dims = batch["original_dims"]
@@ -65,6 +95,28 @@ def evaluate_segmentation(
             pred_r = resize_nearest_np(preds[j].astype(np.uint8), orig)
             mask_r = resize_nearest_np(masks[j].astype(np.uint8), orig)
             metrics.update(pred_r, mask_r)
+
+        if viz_dir is not None and i < visualize_samples:
+            from unet_implementations_tpu.utils import visualize as V
+
+            V.visualize_prediction_batch(
+                batch["image"], masks, preds, viz_dir / f"predictions_batch{i}.png"
+            )
+            V.visualize_error_analysis(
+                batch["image"][0], preds[0], masks[0],
+                viz_dir / f"error_analysis_batch{i}.png",
+            )
+            if probs_fn is not None:
+                probs = np.asarray(probs_fn(batch))
+                V.visualize_confidence_maps(
+                    batch["image"][0], probs[0],
+                    viz_dir / f"confidence_batch{i}.png",
+                )
+
+    if viz_dir is not None:
+        from unet_implementations_tpu.utils import visualize as V
+
+        V.plot_confusion_matrix(metrics.cm, viz_dir / "confusion_matrix.png")
 
     def cls_result(c):
         return {

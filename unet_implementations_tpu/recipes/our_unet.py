@@ -69,12 +69,17 @@ def compute_static_weights(dataset: PetDataset, batch_size: int = 32) -> np.ndar
     return (weights * (3 / weights.sum())).astype(np.float32)
 
 
-def make_datasets(data_dir: str | Path, include_augmented: bool = True):
+def make_datasets(
+    data_dir: str | Path,
+    include_augmented: bool = True,
+    normalize_train: bool = True,
+):
     data_dir = Path(data_dir)
     train = PetDataset(
         data_dir / "Train" / "resized",
         data_dir / "Train" / "resized_label",
         include_augmented=include_augmented,
+        normalize=normalize_train,
         process_index=jax.process_index(),
         process_count=jax.process_count(),
     )
@@ -106,8 +111,12 @@ def train(
     dtype=jnp.bfloat16,
     use_mesh: bool = True,
     num_threads: int = 8,
+    online_augment: bool = False,
     verbose: bool = True,
 ) -> Dict:
+    """``online_augment=True`` applies the class-balanced augmentation policy
+    on device per batch (the XLA-fused pipeline) instead of reading the
+    offline 5x/2x expansion from disk."""
     output_dir = Path(output_dir)
     write_training_config(output_dir, dict(
         data_dir=str(data_dir), output_dir=str(output_dir), batch_size=batch_size,
@@ -115,9 +124,14 @@ def train(
         weighted_ce=weighted_ce, static_weights=static_weights,
         dice_weight=dice_weight, ce_weight=ce_weight, patience=patience,
         save_every=save_every, seed=seed, dtype=str(dtype),
+        online_augment=online_augment,
     ))
 
-    train_ds, val_ds = make_datasets(data_dir)
+    train_ds, val_ds = make_datasets(
+        data_dir,
+        include_augmented=not online_augment,
+        normalize_train=not online_augment,
+    )
     if verbose:
         print(f"Training dataset size: {len(train_ds)}")
         print(f"Validation dataset size: {len(val_ds)}")
@@ -153,10 +167,15 @@ def train(
             print(f"Resumed from epoch {start_epoch}")
 
     def train_batches(epoch):
-        return batch_iterator(
+        it = batch_iterator(
             train_ds, batch_size, shuffle=True, seed=seed * 1000 + epoch,
             drop_last=True, num_threads=num_threads,
         )
+        if not online_augment:
+            return it
+        from unet_implementations_tpu.recipes.common import wrap_online_augment
+
+        return wrap_online_augment(it, epoch, seed)
 
     def val_batches():
         return batch_iterator(val_ds, batch_size, num_threads=num_threads)
@@ -190,6 +209,7 @@ def evaluate(
     *,
     batch_size: int = 32,
     dtype=jnp.bfloat16,
+    visualize_samples: int = 0,
     verbose: bool = True,
 ) -> Dict:
     model = build_model(dtype)
@@ -209,9 +229,17 @@ def evaluate(
         logits = model.apply({"params": params}, images, deterministic=True)
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
+    @jax.jit
+    def probs(params, images):
+        logits = model.apply({"params": params}, images, deterministic=True)
+        return jax.nn.softmax(logits, axis=-1)
+
     def predict_fn(batch):
         return forward(params, jnp.asarray(batch["image"], dtype))
 
     return evaluate_segmentation(
-        predict_fn, test_ds, batch_size, output_dir, verbose=verbose
+        predict_fn, test_ds, batch_size, output_dir,
+        visualize_samples=visualize_samples,
+        probs_fn=lambda b: probs(params, jnp.asarray(b["image"], dtype)),
+        verbose=verbose,
     )
