@@ -86,6 +86,49 @@ class TestAugmentBatch:
         assert np.mean(overlaps) > 0.5, overlaps
 
 
+class TestPolicyDistribution:
+    def test_flip_rate_approximately_half(self):
+        """Distribution-level policy validation (SURVEY §7.3: validate the
+        *policy*, not pixel equality): hflip prob is 0.5 for both classes —
+        estimate the realized flip rate on an asymmetric image."""
+        h = w = 32
+        img = np.zeros((h, w, 3), np.float32)
+        img[:, : w // 2] = 1.0  # left half bright
+        mask = np.zeros((h, w), np.int32)
+        mask[:, : w // 2] = 1
+        n = 64
+        images = jnp.asarray(np.stack([img] * n))
+        masks = jnp.asarray(np.stack([mask] * n))
+        cls = jnp.zeros(n, jnp.int32)
+        _, out_m = A.augment_batch(jax.random.key(123), images, masks, cls)
+        out_m = np.asarray(out_m)
+        # flipped iff the mask's right half has more fg than the left half
+        left = (out_m[:, :, : w // 2] == 1).sum(axis=(1, 2))
+        right = (out_m[:, :, w // 2:] == 1).sum(axis=(1, 2))
+        flip_rate = float((right > left).mean())
+        assert 0.25 < flip_rate < 0.75, flip_rate
+
+    def test_cat_more_aggressive_than_dog(self):
+        """Cat policy transforms more often: measure how frequently the
+        output differs substantially from the input across many samples."""
+        rng = np.random.default_rng(11)
+        img = rng.random((32, 32, 3)).astype(np.float32)
+        mask = np.zeros((32, 32), np.int32)
+        n = 96
+        images = jnp.asarray(np.stack([img] * n))
+        masks = jnp.asarray(np.stack([mask] * n))
+
+        def change_rate(cls_idx, key):
+            out_i, _ = A.augment_batch(key, images, masks,
+                                       jnp.full((n,), cls_idx, jnp.int32))
+            diff = np.abs(np.asarray(out_i) - img).mean(axis=(1, 2, 3))
+            return float((diff > 0.02).mean())
+
+        cat = change_rate(0, jax.random.key(5))
+        dog = change_rate(1, jax.random.key(5))
+        assert cat >= dog - 0.05, (cat, dog)
+
+
 class TestHelpers:
     def test_reflect101(self):
         c = np.asarray(A._reflect101(jnp.asarray([-2.0, -1.0, 0.0, 5.0, 6.0, 7.0]), 6))

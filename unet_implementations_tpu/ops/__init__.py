@@ -9,6 +9,8 @@ from unet_implementations_tpu.ops.losses import (  # noqa: F401
     psnr,
     ssim,
     ssim_loss,
+    perceptual_loss,
+    reconstruction_loss,
 )
 from unet_implementations_tpu.ops.metrics import (  # noqa: F401
     confusion_matrix,
