@@ -1,0 +1,79 @@
+"""CLIP recipe plumbing: embedding cache vs live extraction, online augment."""
+
+import numpy as np
+import cv2
+import jax
+import jax.numpy as jnp
+from PIL import Image
+
+from unet_implementations_tpu.data.loader import PetDataset, batch_iterator
+from unet_implementations_tpu.recipes.clip_unet import _attach_features, _embedding_table
+from unet_implementations_tpu.recipes.common import wrap_online_augment
+
+
+class FakeExtractor:
+    """Deterministic stand-in: embedding = per-image mean stats."""
+
+    output_dim = 8
+
+    def __call__(self, clip_images):
+        x = jnp.asarray(clip_images, jnp.float32)
+        means = jnp.mean(x, axis=(1, 2))  # (B, 3)
+        return jnp.tile(means, (1, 3))[:, : self.output_dim]
+
+
+def _make_ds(root, n=5):
+    rng = np.random.default_rng(0)
+    (root / "resized").mkdir(parents=True)
+    (root / "resized_label").mkdir(parents=True)
+    for i in range(n):
+        img = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+        cv2.imwrite(str(root / "resized" / f"img_{i}.jpg"), img)
+        m = np.zeros((64, 64), np.uint8)
+        m[10:30, 10:30] = 1 + (i % 2)
+        Image.fromarray(m).save(root / "resized_label" / f"img_{i}.png")
+    return PetDataset(root / "resized", root / "resized_label",
+                      include_augmented=False, target_size=(64, 64),
+                      clip_dir=root / "resized", clip_size=32)
+
+
+class TestEmbeddingCache:
+    def test_cached_equals_live(self, tmp_path):
+        ds = _make_ds(tmp_path)
+        ex = FakeExtractor()
+        table = _embedding_table(ex, ds, batch_size=2)
+        assert table.shape == (5, 8)
+
+        live = list(_attach_features(
+            batch_iterator(ds, 2, shuffle=True, seed=3), ex, None))
+        cached = list(_attach_features(
+            batch_iterator(ds, 2, shuffle=True, seed=3), ex, table))
+        for a, b in zip(live, cached):
+            np.testing.assert_array_equal(a["index"], b["index"])
+            np.testing.assert_allclose(
+                np.asarray(a["clip_features"]), np.asarray(b["clip_features"]),
+                rtol=1e-5, atol=1e-6,
+            )
+            assert "clip_image" not in a and "clip_image" not in b
+
+    def test_table_indexed_by_dataset_order(self, tmp_path):
+        ds = _make_ds(tmp_path)
+        ex = FakeExtractor()
+        table = _embedding_table(ex, ds, batch_size=3)
+        item = ds.load_item(2)
+        expected = np.asarray(ex(jnp.asarray(item["clip_image"][None])))[0]
+        np.testing.assert_allclose(table[2], expected, rtol=1e-5, atol=1e-6)
+
+
+class TestOnlineAugmentWrapper:
+    def test_normalizes_and_keeps_labels_valid(self, tmp_path):
+        ds = _make_ds(tmp_path)
+        ds.normalize = False  # [0,1] images as the online path expects
+        batches = list(wrap_online_augment(
+            batch_iterator(ds, 2, drop_last=True), epoch=0, seed=0))
+        assert batches
+        for b in batches:
+            img = np.asarray(b["image"])
+            # ImageNet-normalized output: roughly zero-centered
+            assert img.min() < -0.5 and img.max() > 0.5
+            assert set(np.unique(np.asarray(b["mask"]))) <= {0, 1, 2, 255}
