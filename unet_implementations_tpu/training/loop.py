@@ -96,7 +96,12 @@ def train_loop(
         # Per-phase wall timing (the reference prints data/step breakdowns,
         # Our_UNet/src/train.py:617-678 — informational only; note that the
         # device runs async, so "step" time includes queued device work).
-        train_loss_sum, n_train = 0.0, 0
+        # Async-dispatch pipeline: losses stay on device (fetching the scalar
+        # per step would stall the host and serialize H2D transfer against
+        # compute). A bounded sync every `run_ahead` steps caps the number of
+        # in-flight batches so queued H2D buffers can't blow up HBM.
+        run_ahead = 4
+        losses, n_train = [], 0
         data_time, step_time = 0.0, 0.0
         profiling = profile_dir is not None and epoch == start_epoch
         if profiling:
@@ -111,15 +116,17 @@ def train_loop(
             batch = shard_batch(batch, mesh)
             t0 = time.time()
             state, loss = train_step(state, batch, rng)
-            train_loss_sum += float(loss)  # host sync per step
-            step_time += time.time() - t0
+            losses.append(loss)
             n_train += 1
+            if n_train % run_ahead == 0:
+                jax.block_until_ready(loss)
+            step_time += time.time() - t0
             if profiling and n_train >= 3:
                 jax.profiler.stop_trace()
                 profiling = False
         if profiling:
             jax.profiler.stop_trace()
-        train_loss = train_loss_sum / max(n_train, 1)
+        train_loss = float(np.mean([float(l) for l in losses])) if losses else 0.0
         if verbose:
             print(f"  Data loading time: {data_time:.2f}s")
             print(f"  Train step time:   {step_time:.2f}s")
