@@ -53,10 +53,14 @@ def main():
     log(f"devices: {jax.devices()}")
 
     batch_size = 32
+    # Throughput-optimal serving batch (measured sweep, docs/PERFORMANCE.md:
+    # 422 img/s at b32 → 504 img/s at b128; b192/b256 are no better).
+    infer_batch = 128
     model = unet_6stage(dtype=jnp.bfloat16)
     host = synthetic_batch(0, batch_size, size=512)
     image = jnp.asarray(host["image"], jnp.bfloat16)
     mask = jnp.asarray(host["mask"])
+    infer_image = jnp.concatenate([image] * (infer_batch // batch_size), axis=0)
 
     params = model.init(jax.random.key(0), image[:1])["params"]
 
@@ -67,9 +71,9 @@ def main():
         return out.astype(jnp.bfloat16) * 0.01
 
     log("compiling inference...")
-    dt = time_chained(infer_step, image, iters=15)
-    infer_ips = batch_size / dt / n_chips
-    log(f"inference: {dt * 1e3:.2f} ms/batch{batch_size} -> "
+    dt = time_chained(infer_step, infer_image, iters=10)
+    infer_ips = infer_batch / dt / n_chips
+    log(f"inference: {dt * 1e3:.2f} ms/batch{infer_batch} -> "
         f"{infer_ips:.1f} images/sec/chip")
 
     # Secondary: full train step (fwd+loss+bwd+sgd update). Chained state
@@ -99,7 +103,8 @@ def main():
         "secondary": {
             "train_step_images_per_sec_per_chip": round(float(train_ips), 2),
             "train_vs_reference_gpu_54": round(float(train_ips) / 54.0, 2),
-            "batch_size": batch_size,
+            "inference_batch_size": infer_batch,
+            "train_batch_size": batch_size,
             "n_chips": n_chips,
         },
     }))

@@ -47,6 +47,24 @@ class TestParser:
              "--no_clip_features"])
         assert args.no_clip_features is True
 
+    def test_reference_compat_flags_accepted(self):
+        # The reference's full train flag set parses (SURVEY §1.1): dead or
+        # torch-specific flags are accepted as no-ops, --num_workers maps to
+        # --num_threads.
+        args = build_parser().parse_args(
+            ["our_unet", "train", "--data_dir", "d", "--output_dir", "o",
+             "--num_workers", "4", "--device", "cuda", "--amp",
+             "--reduced_complexity"])
+        assert args.num_workers == 4
+        args = build_parser().parse_args(
+            ["clip_unet", "train", "--data_dir", "d", "--output_dir", "o",
+             "--use_clip"])
+        assert args.use_clip is True
+        args = build_parser().parse_args(
+            ["our_unet", "evaluate", "--model_path", "m", "--data_dir", "d",
+             "--num_workers", "2", "--device", "cpu"])
+        assert args.num_workers == 2
+
     def test_pipeline_and_augment(self):
         args = build_parser().parse_args(
             ["pipeline", "--raw_dir", "r", "--processed_dir", "p"])

@@ -13,11 +13,12 @@ def _reference(x, scale, bias, eps=1e-5, slope=0.01, group=1):
     b, h, w, c = x.shape
     xf = x.astype(jnp.float32)
     if group > 1:
-        xg = xf.reshape(b, h, w, c // group, group)
-        mean = jnp.mean(xg, axis=(1, 2, 4), keepdims=True)
-        var = jnp.var(xg, axis=(1, 2, 4), keepdims=True)
+        # q-major s2d layout: channel = q*C + c (models/s2d.py)
+        xg = xf.reshape(b, h, w, group, c // group)
+        mean = jnp.mean(xg, axis=(1, 2, 3), keepdims=True)
+        var = jnp.var(xg, axis=(1, 2, 3), keepdims=True)
         y = (xg - mean) * jax.lax.rsqrt(var + eps)
-        y = y * scale[None, None, None, :, None] + bias[None, None, None, :, None]
+        y = y * scale[None, None, None, None, :] + bias[None, None, None, None, :]
         y = y.reshape(b, h, w, c)
     else:
         mean = jnp.mean(xf, axis=(1, 2), keepdims=True)

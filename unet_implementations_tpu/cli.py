@@ -34,6 +34,23 @@ def _add_common_train_flags(p: argparse.ArgumentParser, batch_size: int = 32):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no_mesh", action="store_true", help="disable data-parallel mesh")
     p.add_argument("--f32", action="store_true", help="compute in float32 (default bf16)")
+    _add_compat_flags(p)
+
+
+def _add_compat_flags(p: argparse.ArgumentParser):
+    """Reference CLI flags accepted for drop-in compatibility (SURVEY §1.1).
+
+    ``--num_workers`` maps to our ``--num_threads``; the rest are no-ops:
+    ``--device`` (device selection is JAX's), ``--amp`` (bf16 mixed precision
+    is the default; use ``--f32`` to disable), ``--reduced_complexity``
+    (parsed but never consumed by the reference, ``Our_UNet/src/train.py:110``).
+    """
+    p.add_argument("--num_workers", type=int, default=None,
+                   help="compat alias for --num_threads")
+    p.add_argument("--device", default=None, help=argparse.SUPPRESS)
+    p.add_argument("--amp", action="store_true", help=argparse.SUPPRESS)
+    p.add_argument("--reduced_complexity", action="store_true",
+                   help=argparse.SUPPRESS)
 
 
 def _add_seg_train_flags(p: argparse.ArgumentParser):
@@ -56,12 +73,19 @@ def _add_eval_flags(p: argparse.ArgumentParser):
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--visualize_samples", type=int, default=3)
     p.add_argument("--f32", action="store_true")
+    _add_compat_flags(p)
 
 
 def _dtype(args):
     import jax.numpy as jnp
 
     return jnp.float32 if args.f32 else jnp.bfloat16
+
+
+def _num_threads(args):
+    if getattr(args, "num_workers", None) is not None:
+        return args.num_workers
+    return args.num_threads
 
 
 def _seg_train_kwargs(args):
@@ -72,7 +96,7 @@ def _seg_train_kwargs(args):
         dice_weight=args.dice_weight, ce_weight=args.ce_weight,
         patience=args.patience, save_every=args.save_every, resume=args.resume,
         seed=args.seed, dtype=_dtype(args), use_mesh=not args.no_mesh,
-        num_threads=args.num_threads,
+        num_threads=_num_threads(args),
     )
 
 
@@ -97,6 +121,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["ViT-B/16", "ViT-B/32", "ViT-L/14"])
     t.add_argument("--clip_weights", default=None,
                    help="path to converted CLIP weights (msgpack); random init if absent")
+    # Reference --use_clip is store_true with default=True, i.e. cannot be
+    # disabled from the CLI (CLIP_UNet/src/train.py:131-137) — accepted as a
+    # no-op for drop-in compatibility.
+    t.add_argument("--use_clip", action="store_true", help=argparse.SUPPRESS)
     e = clip.add_parser("evaluate")
     _add_eval_flags(e)
     e.add_argument("--clip_model", default="ViT-B/16",
@@ -244,7 +272,7 @@ def main(argv=None):
                     ssim_weight=args.ssim_weight, patience=args.patience,
                     save_every=args.save_every, resume=args.resume,
                     seed=args.seed, dtype=_dtype(args),
-                    use_mesh=not args.no_mesh, num_threads=args.num_threads)
+                    use_mesh=not args.no_mesh, num_threads=_num_threads(args))
         else:
             r.evaluate(args.model_path, args.data_dir, args.output_dir,
                        batch_size=args.batch_size, dtype=_dtype(args),

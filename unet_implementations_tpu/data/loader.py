@@ -166,18 +166,21 @@ def batch_iterator(
 
     chunks = [indices[i:i + batch_size] for i in range(0, len(indices), batch_size)]
 
-    def load_batch(chunk) -> Dict[str, np.ndarray]:
-        items = [dataset.load_item(int(i)) for i in chunk]
-        batch = {k: np.stack([it[k] for it in items]) for k in items[0]}
-        batch["index"] = np.asarray(chunk, np.int64)
-        return batch
-
+    # Per-ITEM futures (not per-batch): every decode in the prefetch window
+    # runs on the pool concurrently — cv2 releases the GIL in imread/resize,
+    # so a 32-image batch decodes ~num_threads-wide instead of serially.
     with cf.ThreadPoolExecutor(max_workers=num_threads) as pool:
-        futures = [pool.submit(load_batch, c) for c in chunks[:prefetch]]
+        def submit(chunk):
+            return [pool.submit(dataset.load_item, int(i)) for i in chunk]
+
+        pending = [submit(c) for c in chunks[:prefetch]]
         next_submit = prefetch
         for i in range(len(chunks)):
-            batch = futures[i].result()
+            futs = pending[i]
             if next_submit < len(chunks):
-                futures.append(pool.submit(load_batch, chunks[next_submit]))
+                pending.append(submit(chunks[next_submit]))
                 next_submit += 1
+            items = [f.result() for f in futs]
+            batch = {k: np.stack([it[k] for it in items]) for k in items[0]}
+            batch["index"] = np.asarray(chunks[i], np.int64)
             yield batch

@@ -14,8 +14,8 @@ Two streaming kernels instead:
    ``leaky_relu((x - mean) * rstd * scale + bias)`` with per-channel
    mean/rstd prefetched.
 
-Group pooling (``group=4``) supports the space-to-depth layout (c-major:
-channel = c*4 + q), pooling each original channel's sub-pixels — identical
+Group pooling (``group=4``) supports the space-to-depth layout (q-major:
+channel = q*C + c), pooling each original channel's sub-pixels — identical
 numerics to dense InstanceNorm at full resolution.
 
 Differentiable via ``jax.custom_vjp``; the backward pass uses the standard
@@ -93,20 +93,21 @@ def _pallas_forward(x, scale_c, bias_c, eps, negative_slope, group):
 
     s1, s2 = sums[:, 0, :], sums[:, 1, :]  # (B, C)
     if group > 1:
-        s1 = s1.reshape(b, c // group, group).sum(-1)
-        s2 = s2.reshape(b, c // group, group).sum(-1)
+        # q-major: channel = q*C + c — sub-pixels are the MAJOR blocks.
+        s1 = s1.reshape(b, group, c // group).sum(1)
+        s2 = s2.reshape(b, group, c // group).sum(1)
     n = h * w * group
     mean_g = s1 / n
     var_g = jnp.maximum(s2 / n - mean_g * mean_g, 0.0)
     rstd_g = jax.lax.rsqrt(var_g + eps)
     if group > 1:
-        mean = jnp.repeat(mean_g, group, axis=1)
-        rstd = jnp.repeat(rstd_g, group, axis=1)
+        mean = jnp.tile(mean_g, (1, group))
+        rstd = jnp.tile(rstd_g, (1, group))
     else:
         mean, rstd = mean_g, rstd_g
 
-    scale_full = jnp.repeat(scale_c, group) if group > 1 else scale_c
-    bias_full = jnp.repeat(bias_c, group) if group > 1 else bias_c
+    scale_full = jnp.tile(scale_c, group) if group > 1 else scale_c
+    bias_full = jnp.tile(bias_c, group) if group > 1 else bias_c
     # (B, 1, C) so the trailing block dims can cover the full array.
     scale_b = jnp.broadcast_to(scale_full[None, None, :], (b, 1, c))
     bias_b = jnp.broadcast_to(bias_full[None, None, :], (b, 1, c))
@@ -131,10 +132,10 @@ def _jnp_forward(x, scale_c, bias_c, eps, negative_slope, group):
     b, h, w, c = x.shape
     xf = x.astype(jnp.float32)
     if group > 1:
-        xg = xf.reshape(b, h, w, c // group, group)
+        xg = xf.reshape(b, h, w, group, c // group)  # q-major sub-pixel axis
         n = h * w * group
-        s1 = jnp.sum(xg, axis=(1, 2, 4))
-        s2 = jnp.sum(xg * xg, axis=(1, 2, 4))
+        s1 = jnp.sum(xg, axis=(1, 2, 3))
+        s2 = jnp.sum(xg * xg, axis=(1, 2, 3))
     else:
         n = h * w
         s1 = jnp.sum(xf, axis=(1, 2))
@@ -142,10 +143,10 @@ def _jnp_forward(x, scale_c, bias_c, eps, negative_slope, group):
     mean_g = s1 / n
     var_g = jnp.maximum(s2 / n - mean_g * mean_g, 0.0)
     rstd_g = jax.lax.rsqrt(var_g + eps)
-    mean = jnp.repeat(mean_g, group, axis=1) if group > 1 else mean_g
-    rstd = jnp.repeat(rstd_g, group, axis=1) if group > 1 else rstd_g
-    scale_full = jnp.repeat(scale_c, group) if group > 1 else scale_c
-    bias_full = jnp.repeat(bias_c, group) if group > 1 else bias_c
+    mean = jnp.tile(mean_g, (1, group)) if group > 1 else mean_g
+    rstd = jnp.tile(rstd_g, (1, group)) if group > 1 else rstd_g
+    scale_full = jnp.tile(scale_c, group) if group > 1 else scale_c
+    bias_full = jnp.tile(bias_c, group) if group > 1 else bias_c
     y = (xf - mean[:, None, None, :]) * rstd[:, None, None, :]
     y = y * scale_full + bias_full
     y = jnp.where(y >= 0, y, y * negative_slope).astype(x.dtype)
@@ -175,7 +176,7 @@ def fused_instance_norm(
 ) -> jax.Array:
     """``leaky_relu(instance_norm(x) * scale + bias)`` in two HBM passes.
 
-    ``x`` is NHWC (dense) or s2d c-major with ``group=4``; ``scale``/``bias``
+    ``x`` is NHWC (dense) or s2d q-major with ``group=4``; ``scale``/``bias``
     have one entry per ORIGINAL channel (C // group).
     """
     y, _, _ = _forward(x, scale, bias, eps, negative_slope, group)
@@ -187,8 +188,8 @@ def _bwd_impl(eps, negative_slope, group, residuals, dy):
     b, h, w, c = x.shape
     xf = x.astype(jnp.float32)
     dyf = dy.astype(jnp.float32)
-    scale_full = jnp.repeat(scale_c, group) if group > 1 else scale_c
-    bias_full = jnp.repeat(bias_c, group) if group > 1 else bias_c
+    scale_full = jnp.tile(scale_c, group) if group > 1 else scale_c
+    bias_full = jnp.tile(bias_c, group) if group > 1 else bias_c
 
     xhat = (xf - mean[:, None, None, :]) * rstd[:, None, None, :]
     y_pre = xhat * scale_full + bias_full
@@ -198,19 +199,19 @@ def _bwd_impl(eps, negative_slope, group, residuals, dy):
     dscale_full = jnp.sum(dpre * xhat, axis=(0, 1, 2))
     dbias_full = jnp.sum(dpre, axis=(0, 1, 2))
     if group > 1:
-        dscale = dscale_full.reshape(c // group, group).sum(-1)
-        dbias = dbias_full.reshape(c // group, group).sum(-1)
+        dscale = dscale_full.reshape(group, c // group).sum(0)
+        dbias = dbias_full.reshape(group, c // group).sum(0)
     else:
         dscale, dbias = dscale_full, dbias_full
 
     # input grad: standard instance-norm backward with group-pooled means
     dxhat = dpre * scale_full
     if group > 1:
-        shape_g = (b, h, w, c // group, group)
+        shape_g = (b, h, w, group, c // group)  # q-major sub-pixel axis
         dxhat_g = dxhat.reshape(shape_g)
         xhat_g = xhat.reshape(shape_g)
-        m1 = jnp.mean(dxhat_g, axis=(1, 2, 4), keepdims=True)
-        m2 = jnp.mean(dxhat_g * xhat_g, axis=(1, 2, 4), keepdims=True)
+        m1 = jnp.mean(dxhat_g, axis=(1, 2, 3), keepdims=True)
+        m2 = jnp.mean(dxhat_g * xhat_g, axis=(1, 2, 3), keepdims=True)
         dx = (dxhat_g - m1 - xhat_g * m2).reshape(b, h, w, c)
     else:
         m1 = jnp.mean(dxhat, axis=(1, 2), keepdims=True)

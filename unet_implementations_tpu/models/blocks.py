@@ -19,7 +19,7 @@ TPU-first re-expressions of the reference blocks
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -33,7 +33,7 @@ kaiming_fan_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 class InstanceNorm(nn.Module):
     """Per-image, per-channel normalization over spatial dims, f32 stats.
 
-    With ``s2d=True`` the input is a space-to-depth tensor (c-major layout)
+    With ``s2d=True`` the input is a space-to-depth tensor (q-major layout)
     and statistics pool each original channel's 4 sub-pixels — numerically
     identical to dense InstanceNorm on the full-resolution tensor.
     """
@@ -95,15 +95,52 @@ class ConvOp(nn.Module):
     dtype: Any = jnp.float32
     s2d: bool = False            # s2d in → s2d out (stride 1)
     s2d_input: bool = False      # s2d in → DENSE half-res out (stride 2, k=3)
+    # Dense channel counts when the s2d input is a channel-concat of
+    # independently rearranged tensors (q-major layout; see models/s2d.py).
+    s2d_segments: Optional[Tuple[int, ...]] = None
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x) -> jax.Array:
         k = self.kernel_size
-        cin = x.shape[-1] // (4 if (self.s2d or self.s2d_input) else 1)
+        if isinstance(x, (tuple, list)):
+            # Segmented input: a logical channel-concat passed unmerged so the
+            # conv can split over segments — ``conv(concat(xs), K) ==
+            # Σ conv(x_i, K_i)`` — and the concat (the model's largest
+            # tensor at the decoder levels) is never materialized.
+            if self.s2d:
+                assert self.s2d_segments is not None
+                cin = sum(self.s2d_segments)
+            else:
+                cin = sum(xi.shape[-1] for xi in x)
+        else:
+            cin = x.shape[-1] // (4 if (self.s2d or self.s2d_input) else 1)
         kernel = self.param(
             "kernel", kaiming_fan_out, (k, k, cin, self.features), jnp.float32
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        if isinstance(x, (tuple, list)):
+            if self.s2d:
+                from unet_implementations_tpu.models.s2d import conv_s2d_multi
+
+                return conv_s2d_multi(
+                    [xi.astype(self.dtype) for xi in x],
+                    kernel.astype(self.dtype), bias.astype(self.dtype),
+                    self.s2d_segments,
+                )
+            assert self.stride == 1, "segmented input supports stride-1 only"
+            pad = k // 2
+            y, base = None, 0
+            for xi in x:
+                cs = xi.shape[-1]
+                yi = jax.lax.conv_general_dilated(
+                    xi.astype(self.dtype),
+                    kernel[:, :, base:base + cs, :].astype(self.dtype),
+                    (1, 1), [(pad, pad), (pad, pad)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+                y = yi if y is None else y + yi
+                base += cs
+            return y + bias.astype(y.dtype)
         if self.s2d_input:
             from unet_implementations_tpu.models.s2d import conv_s2d_to_dense_stride2
 
@@ -118,7 +155,7 @@ class ConvOp(nn.Module):
             assert self.stride == 1, "s2d path supports stride-1 convs only"
             return conv_s2d(
                 x.astype(self.dtype), kernel.astype(self.dtype),
-                bias.astype(self.dtype),
+                bias.astype(self.dtype), in_segments=self.s2d_segments,
             )
         pad = k // 2
         y = jax.lax.conv_general_dilated(
@@ -148,6 +185,9 @@ class ConvBlock(nn.Module):
     dtype: Any = jnp.float32
     s2d: bool = False
     s2d_input_first: bool = False  # conv_0 consumes an s2d tensor (stride 2)
+    # conv_0's s2d input is a concat of independently rearranged tensors
+    # (dense channel counts per segment; q-major layout — models/s2d.py).
+    s2d_segments_first: Optional[Tuple[int, ...]] = None
     # Pallas-fused InstanceNorm+LeakyReLU (kernels/instance_norm.py). OFF by
     # default: measured end-to-end it LOSES to XLA (99.9ms → 139.8ms @512²
     # b32) because the custom call breaks producer/consumer fusion with the
@@ -166,6 +206,7 @@ class ConvBlock(nn.Module):
                 dtype=self.dtype,
                 s2d=self.s2d,
                 s2d_input=self.s2d_input_first and i == 0,
+                s2d_segments=self.s2d_segments_first if i == 0 else None,
                 name=f"conv_{i}",
             )(x)
             x = InstanceNorm(
@@ -178,11 +219,13 @@ class ConvBlock(nn.Module):
                 x = nn.leaky_relu(x, negative_slope=self.negative_slope)
             if self.dropout_rate > 0:
                 if self.s2d:
+                    # q-major: sub-pixel axis is the 4th — whole ORIGINAL
+                    # channels drop (mask broadcast over space + sub-pixels).
                     b, hp, wp, cf = x.shape
-                    xr = x.reshape(b, hp, wp, cf // 4, 4)
+                    xr = x.reshape(b, hp, wp, 4, cf // 4)
                     xr = nn.Dropout(
                         rate=self.dropout_rate,
-                        broadcast_dims=(1, 2, 4),
+                        broadcast_dims=(1, 2, 3),
                         name=f"dropout_{i}",
                     )(xr, deterministic=deterministic)
                     x = xr.reshape(b, hp, wp, cf)
@@ -218,21 +261,26 @@ class UpBlock(nn.Module):
     ) -> jax.Array:
         from unet_implementations_tpu.ops.resize import resize_bilinear, upsample2x_nhwc
 
+        segments = None
         if self.s2d:
             from unet_implementations_tpu.models.s2d import upsample2x_into_s2d
 
             assert skip.shape[1:3] == x.shape[1:3], "s2d skip must match spatially"
-            x = upsample2x_into_s2d(x.astype(self.dtype))
-            x = jnp.concatenate([x, skip.astype(self.dtype)], axis=-1)
+            # q-major layout: the logical channel-concat of the upsampled
+            # tensor and the skip is passed UNMERGED (a tuple) — the first
+            # conv splits over the segments, so the model's largest tensor
+            # (the decoder concat) is never materialized.
+            segments = (x.shape[-1], skip.shape[-1] // 4)
+            x = (upsample2x_into_s2d(x.astype(self.dtype)), skip.astype(self.dtype))
         else:
             if x.shape[1:3] != skip.shape[1:3]:
                 if (skip.shape[1], skip.shape[2]) == (2 * x.shape[1], 2 * x.shape[2]):
                     x = upsample2x_nhwc(x)  # fused fast path, exact same values
                 else:
                     x = resize_bilinear(x, skip.shape[1:3], spatial_axes=(1, 2))
-            x = jnp.concatenate(
-                [x.astype(self.dtype), skip.astype(self.dtype)], axis=-1
-            )
+            # Logical concat passed unmerged — the first conv splits over the
+            # two operands instead of materializing the concatenated tensor.
+            x = (x.astype(self.dtype), skip.astype(self.dtype))
         return ConvBlock(
             features=self.features,
             kernel_size=self.kernel_size,
@@ -241,5 +289,6 @@ class UpBlock(nn.Module):
             dropout_rate=self.dropout_rate,
             dtype=self.dtype,
             s2d=self.s2d,
+            s2d_segments_first=segments,
             name="conv_block",
         )(x, deterministic=deterministic)

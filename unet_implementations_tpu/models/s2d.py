@@ -8,15 +8,22 @@ lane dimension —
     conv 512² 96→32   : 29.6 ms  (16 TF/s)    s2d: 256² 384→128 : 24.7 ms
 
 A stride-1 k×k convolution commutes exactly with space-to-depth: rearrange
-(B, 2i+dy, 2j+dx, c) → (B, i, j, c*4 + dy*2 + dx) and the conv becomes a
+(B, 2i+dy, 2j+dx, c) → (B, i, j, q-major channel) and the conv becomes a
 k×k conv over the rearranged tensor whose (4Cin, 4Cout) kernel is the
 original kernel scattered into a fixed zero pattern (25% density). We spend
 4× the MACs but at ~4-8× better MXU utilization — and the numerics are
 IDENTICAL (the extra MACs multiply structural zeros).
 
-Channel layout is c-major (ch = c*4 + q, q = dy*2+dx) so that concatenating
-two s2d tensors equals s2d of the concatenation — which is what the decoder
-skip-concat needs.
+Channel layout is **q-major** (ch = q*C + c, q = dy*2 + dx): each sub-pixel's
+channels are one contiguous block. Chosen because the decoder's
+2x-upsample-into-s2d is then a plain channel ``concatenate`` of the four
+sub-pixel lerps — XLA lowers that to pure addressing. (The c-major
+alternative interleaves via a 5-D stack+reshape, which XLA lowers to
+pad+maximum fusions materializing multi-GB temporaries — measured 8 GB of
+HLO temps for decoder_4 alone at batch 192.) The price of q-major is that
+concatenating two s2d tensors is no longer s2d of the concatenation; the
+kernel transform instead takes the dense-channel ``in_segments`` so a conv
+can consume a channel-concat of independently-rearranged tensors directly.
 
 Used by ``models.blocks.ConvBlock(s2d=True)`` for the UNet's stage-0 /
 decoder-4 / head level (see ``models/unet.py``).
@@ -24,7 +31,7 @@ decoder-4 / head level (see ``models/unet.py``).
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -32,21 +39,21 @@ import numpy as np
 
 
 def space_to_depth(x: jax.Array, factor: int = 2) -> jax.Array:
-    """(B, H, W, C) → (B, H/f, W/f, C*f²), c-major channel layout."""
+    """(B, H, W, C) → (B, H/f, W/f, f²*C), q-major channel layout."""
     b, h, w, c = x.shape
     f = factor
     x = x.reshape(b, h // f, f, w // f, f, c)
-    x = x.transpose(0, 1, 3, 5, 2, 4)  # (B, H', W', C, fy, fx)
-    return x.reshape(b, h // f, w // f, c * f * f)
+    x = x.transpose(0, 1, 3, 2, 4, 5)  # (B, H', W', fy, fx, C)
+    return x.reshape(b, h // f, w // f, f * f * c)
 
 
 def depth_to_space(x: jax.Array, factor: int = 2) -> jax.Array:
-    """Inverse of ``space_to_depth`` (c-major layout)."""
+    """Inverse of ``space_to_depth`` (q-major layout)."""
     b, hp, wp, cf = x.shape
     f = factor
     c = cf // (f * f)
-    x = x.reshape(b, hp, wp, c, f, f)
-    x = x.transpose(0, 1, 4, 2, 5, 3)  # (B, H', fy, W', fx, C)
+    x = x.reshape(b, hp, wp, f, f, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)  # (B, H', fy, W', fx, C)
     return x.reshape(b, hp * f, wp * f, c)
 
 
@@ -70,14 +77,23 @@ def _s2d_kernel_pattern(k: int) -> np.ndarray:
     return np.asarray(entries, np.int32)
 
 
-def transform_kernel(kernel: jax.Array) -> jax.Array:
+def transform_kernel(
+    kernel: jax.Array, in_segments: Optional[Sequence[int]] = None
+) -> jax.Array:
     """(k, k, Cin, Cout) → (K', K', 4Cin, 4Cout) s2d-equivalent kernel.
 
     K' = number of distinct block offsets (3 for k=3, 1 for k=1). The scatter
     runs at trace time over ≤ 4k² static entries — negligible per step.
+
+    ``in_segments`` (dense channel counts summing to Cin) describes an input
+    that is a channel-concat of independently s2d-rearranged tensors: the
+    s2d channel index of (segment s, sub-pixel q, local channel c) is
+    ``4*sum(segments[:s]) + q*segments[s] + c``. Default: one segment.
     """
     k = kernel.shape[0]
     cin, cout = kernel.shape[2], kernel.shape[3]
+    segments = tuple(in_segments) if in_segments is not None else (cin,)
+    assert sum(segments) == cin, (segments, cin)
     entries = _s2d_kernel_pattern(k)
     b_lo = int(entries[:, :2].min())
     b_hi = int(entries[:, :2].max())
@@ -86,10 +102,14 @@ def transform_kernel(kernel: jax.Array) -> jax.Array:
     for by, bx, ry, rx, oy, ox, ky, kx in entries:
         qin = ry * 2 + rx
         qout = oy * 2 + ox
-        # c-major layout: channel = c*4 + q
-        out = out.at[
-            by - b_lo, bx - b_lo, qin::4, qout::4
-        ].set(kernel[ky, kx])
+        base = 0
+        for cs in segments:
+            out = out.at[
+                by - b_lo, bx - b_lo,
+                4 * base + qin * cs: 4 * base + (qin + 1) * cs,
+                qout * cout: (qout + 1) * cout,
+            ].set(kernel[ky, kx, base:base + cs, :])
+            base += cs
     return out
 
 
@@ -111,7 +131,9 @@ def transform_kernel_stride2(kernel: jax.Array) -> jax.Array:
             by, ry = ny // 2, ny % 2
             bx, rx = nx // 2, nx % 2
             qin = ry * 2 + rx
-            out = out.at[by + 1, bx + 1, qin::4, :].set(kernel[ky, kx])
+            out = out.at[by + 1, bx + 1, qin * cin:(qin + 1) * cin, :].set(
+                kernel[ky, kx]
+            )
     return out
 
 
@@ -128,21 +150,56 @@ def conv_s2d_to_dense_stride2(
 
 
 def s2d_bias(bias: jax.Array) -> jax.Array:
-    """(Cout,) → (4Cout,) in c-major layout."""
-    return jnp.repeat(bias, 4)
+    """(Cout,) → (4Cout,) in q-major layout."""
+    return jnp.tile(bias, 4)
 
 
-def conv_s2d(x: jax.Array, kernel: jax.Array, bias: jax.Array) -> jax.Array:
+def conv_s2d(
+    x: jax.Array,
+    kernel: jax.Array,
+    bias: jax.Array,
+    in_segments: Optional[Sequence[int]] = None,
+) -> jax.Array:
     """Stride-1 same-padded conv over an s2d tensor, exact vs. the dense conv.
 
     ``kernel`` is the CANONICAL (k, k, Cin, Cout) kernel; transformed here.
+    ``in_segments`` — see ``transform_kernel``.
     """
-    kt = transform_kernel(kernel)
+    kt = transform_kernel(kernel, in_segments)
     pad = kt.shape[0] // 2
     y = jax.lax.conv_general_dilated(
         x, kt, (1, 1), [(pad, pad), (pad, pad)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
+    return y + s2d_bias(bias).astype(y.dtype)
+
+
+def conv_s2d_multi(
+    xs: Sequence[jax.Array],
+    kernel: jax.Array,
+    bias: jax.Array,
+    segments: Sequence[int],
+) -> jax.Array:
+    """Stride-1 s2d conv over a channel-concat of s2d tensors WITHOUT
+    materializing the concat: ``conv(concat(xs), K) == Σ conv(x_i, K_i)``
+    with ``K_i`` the kernel's dense-channel slice for segment i.
+
+    The concatenated decoder input is the largest tensor in the model
+    (measured: a 6 GB HLO temp for decoder_4 at batch 128 — the HBM
+    high-water mark); the split-conv form replaces it with an add epilogue.
+    """
+    assert len(xs) == len(segments)
+    y = None
+    base = 0
+    for x, cs in zip(xs, segments):
+        kt = transform_kernel(kernel[:, :, base:base + cs, :])
+        pad = kt.shape[0] // 2
+        yi = jax.lax.conv_general_dilated(
+            x, kt, (1, 1), [(pad, pad), (pad, pad)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        y = yi if y is None else y + yi
+        base += cs
     return y + s2d_bias(bias).astype(y.dtype)
 
 
@@ -157,14 +214,14 @@ def instance_norm_s2d(
     """
     b, hp, wp, cf = x.shape
     c = cf // 4
-    xf = x.astype(jnp.float32).reshape(b, hp, wp, c, 4)
+    xf = x.astype(jnp.float32).reshape(b, hp, wp, 4, c)
     n = hp * wp * 4
-    s1 = jnp.sum(xf, axis=(1, 2, 4), keepdims=True)
-    s2 = jnp.sum(xf * xf, axis=(1, 2, 4), keepdims=True)
+    s1 = jnp.sum(xf, axis=(1, 2, 3), keepdims=True)
+    s2 = jnp.sum(xf * xf, axis=(1, 2, 3), keepdims=True)
     mean = s1 / n
     var = jnp.maximum(s2 / n - mean * mean, 0.0)
     y = (xf - mean) * jax.lax.rsqrt(var + eps)
-    y = y * scale[None, None, None, :, None] + bias[None, None, None, :, None]
+    y = y * scale[None, None, None, None, :] + bias[None, None, None, None, :]
     out_dtype = out_dtype or x.dtype
     return y.reshape(b, hp, wp, cf).astype(out_dtype)
 
@@ -174,7 +231,8 @@ def upsample2x_into_s2d(x: jax.Array) -> jax.Array:
 
     Input (B, H, W, C) dense → output (B, H, W, 4C) = s2d(upsample2x(x)).
     Each sub-pixel is a fixed 2-tap lerp of edge-padded shifts (same math as
-    ``ops.resize.upsample2x_nhwc``), with no interleave materialization.
+    ``ops.resize.upsample2x_nhwc``). In q-major layout the combine is a
+    plain channel concatenate — no interleave materialization.
     """
     def taps(arr, axis):
         pad = [(0, 0)] * arr.ndim
@@ -194,13 +252,7 @@ def upsample2x_into_s2d(x: jax.Array) -> jax.Array:
         return r0, r1
 
     row0, row1 = taps(x, 1)
-    out = []
-    for ry, rows in ((0, row0), (1, row1)):
-        col0, col1 = taps(rows, 2)
-        out.append((ry, 0, col0))
-        out.append((ry, 1, col1))
-    # stack in c-major order: channel = c*4 + ry*2 + rx
-    b, h, w, c = x.shape
-    stacked = jnp.stack([t for _, _, t in sorted(out, key=lambda e: (e[0], e[1]))],
-                        axis=-1)  # (B,H,W,C,4) with q order (0,0),(0,1),(1,0),(1,1)
-    return stacked.reshape(b, h, w, c * 4)
+    c00, c01 = taps(row0, 2)
+    c10, c11 = taps(row1, 2)
+    # q-major: channel blocks in q order (0,0), (0,1), (1,0), (1,1)
+    return jnp.concatenate([c00, c01, c10, c11], axis=-1)
