@@ -1,0 +1,32 @@
+"""bench.py contract: one JSON line, and the multi-chip sharded path runs.
+
+Uses the 8-device virtual CPU mesh (conftest) with tiny env-override shapes —
+this exercises exactly the branch a real v5e-8 would take (1-D data mesh,
+sharded batches, replicated params/state).
+"""
+
+import json
+
+import pytest
+
+
+def test_bench_multichip_smoke(tmp_path, capsys, monkeypatch):
+    import jax
+
+    assert jax.device_count() == 8
+    monkeypatch.setenv("BENCH_IMG_SIZE", "64")
+    monkeypatch.setenv("BENCH_TRAIN_BATCH", "2")
+    monkeypatch.setenv("BENCH_INFER_BATCH", "2")
+
+    import bench
+
+    bench.main()
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1, out
+    payload = json.loads(out[0])
+    assert payload["unit"] == "images/sec/chip"
+    assert payload["value"] > 0
+    sec = payload["secondary"]
+    assert sec["n_chips"] == 8
+    assert sec["inference_batch_size"] == 16  # 2 per chip * 8
+    assert sec["train_step_images_per_sec_per_chip"] > 0
