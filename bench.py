@@ -52,17 +52,40 @@ def main():
     n_chips = jax.device_count()
     log(f"devices: {jax.devices()}")
 
-    batch_size = 32
+    import os
+
+    # Per-chip batch sizes; with n chips the global batch scales and shards
+    # over a 1-D data mesh (parallel/mesh.py) — XLA rides ICI. Env overrides
+    # exist so the multi-chip path can be smoke-tested on a virtual CPU mesh
+    # (tests/test_bench.py) — benchmark numbers always use the defaults.
+    size = int(os.environ.get("BENCH_IMG_SIZE", "512"))
+    batch_size = int(os.environ.get("BENCH_TRAIN_BATCH", "32")) * n_chips
     # Throughput-optimal serving batch (measured sweep, docs/PERFORMANCE.md:
     # 422 img/s at b32 → 504 img/s at b128; b192/b256 are no better).
-    infer_batch = 128
+    infer_batch = int(os.environ.get("BENCH_INFER_BATCH", "128")) * n_chips
     model = unet_6stage(dtype=jnp.bfloat16)
-    host = synthetic_batch(0, batch_size, size=512)
+    host = synthetic_batch(0, batch_size, size=size)
     image = jnp.asarray(host["image"], jnp.bfloat16)
     mask = jnp.asarray(host["mask"])
     infer_image = jnp.concatenate([image] * (infer_batch // batch_size), axis=0)
 
-    params = model.init(jax.random.key(0), image[:1])["params"]
+    params = model.init(
+        jax.random.key(0), jnp.zeros((1, size, size, 3), jnp.bfloat16)
+    )["params"]
+
+    mesh = None
+    if n_chips > 1:
+        from unet_implementations_tpu.parallel import (
+            create_mesh,
+            replicate,
+            shard_batch,
+        )
+
+        mesh = create_mesh()
+        image = shard_batch(image, mesh)
+        mask = shard_batch(mask, mesh)
+        infer_image = shard_batch(infer_image, mesh)
+        params = replicate(params, mesh)
 
     @jax.jit
     def infer_step(img):
@@ -78,7 +101,14 @@ def main():
 
     # Secondary: full train step (fwd+loss+bwd+sgd update). Chained state
     # serializes iterations; final scalar fetch is the barrier.
-    state = create_train_state(model, jax.random.key(0), image[:1], sgd_nesterov())
+    state = create_train_state(
+        model, jax.random.key(0), jnp.zeros((1, size, size, 3), jnp.bfloat16),
+        sgd_nesterov(),
+    )
+    if mesh is not None:
+        from unet_implementations_tpu.parallel import replicate
+
+        state = replicate(state, mesh)
     train_step = make_segmentation_train_step(donate=False)
     batch = {"image": image, "mask": mask}
     rng = jax.random.key(1)

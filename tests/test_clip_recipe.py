@@ -8,7 +8,10 @@ from PIL import Image
 
 from unet_implementations_tpu.data.loader import PetDataset, batch_iterator
 from unet_implementations_tpu.recipes.clip_unet import _attach_features, _embedding_table
-from unet_implementations_tpu.recipes.common import wrap_online_augment
+from unet_implementations_tpu.recipes.common import (
+    wrap_online_augment,
+    wrap_online_augment_clip,
+)
 
 
 class FakeExtractor:
@@ -77,3 +80,34 @@ class TestOnlineAugmentWrapper:
             # ImageNet-normalized output: roughly zero-centered
             assert img.min() < -0.5 and img.max() > 0.5
             assert set(np.unique(np.asarray(b["mask"]))) <= {0, 1, 2, 255}
+
+    def test_clip_wrapper_extracts_from_augmented_pixels(self, tmp_path):
+        # Live extraction: features come from the AUGMENTED pixels (change
+        # with the augmentation key), image/mask match the plain wrapper's
+        # output for the same key, clip_image is dropped.
+        ds = _make_ds(tmp_path)
+        ds.normalize = False
+        ds.clip_dir = None
+        ex = FakeExtractor()
+        batches = list(wrap_online_augment_clip(
+            batch_iterator(ds, 2, drop_last=True), epoch=0, seed=0,
+            extractor=ex))
+        plain = list(wrap_online_augment(
+            batch_iterator(ds, 2, drop_last=True), epoch=0, seed=0))
+        assert batches
+        for b, p in zip(batches, plain):
+            assert "clip_image" not in b
+            assert np.asarray(b["clip_features"]).shape == (2, ex.output_dim)
+            np.testing.assert_allclose(
+                np.asarray(b["image"]), np.asarray(p["image"]),
+                rtol=1e-5, atol=1e-5,
+            )
+            np.testing.assert_array_equal(
+                np.asarray(b["mask"]), np.asarray(p["mask"]))
+        other = list(wrap_online_augment_clip(
+            batch_iterator(ds, 2, drop_last=True), epoch=1, seed=0,
+            extractor=ex))
+        assert not np.allclose(
+            np.asarray(batches[0]["clip_features"]),
+            np.asarray(other[0]["clip_features"]),
+        )

@@ -203,6 +203,20 @@ class TestLoader:
         again = list(batch_iterator(ds, 2, shuffle=True, seed=0, drop_last=True))
         np.testing.assert_array_equal(batches[0]["index"], again[0]["index"])
 
+    def test_batch_iterator_thread_count_invariant(self, tmp_path):
+        # Batches are identical regardless of decode parallelism (items are
+        # loaded by per-item futures but consumed in submission order).
+        self._make_processed(tmp_path / "Train", with_aug=False)
+        ds = PetDataset(tmp_path / "Train" / "resized",
+                        tmp_path / "Train" / "resized_label")
+        one = list(batch_iterator(ds, 2, shuffle=True, seed=3, num_threads=1))
+        many = list(batch_iterator(ds, 2, shuffle=True, seed=3, num_threads=8))
+        assert len(one) == len(many)
+        for a, b in zip(one, many):
+            np.testing.assert_array_equal(a["index"], b["index"])
+            np.testing.assert_array_equal(a["image"], b["image"])
+            np.testing.assert_array_equal(a["mask"], b["mask"])
+
     def test_multihost_sharding(self, tmp_path):
         self._make_processed(tmp_path / "Train", with_aug=False)
         d0 = PetDataset(tmp_path / "Train" / "resized", None,

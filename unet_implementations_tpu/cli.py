@@ -248,12 +248,9 @@ def main(argv=None):
         from unet_implementations_tpu.recipes import clip_unet as r
 
         if args.cmd == "train":
-            if args.online_augment:
-                print("NOTE: --online_augment is not supported for clip_unet "
-                      "(embeddings must match the augmented pixels); using the "
-                      "offline expansion.")
             r.train(args.data_dir, args.output_dir,
                     clip_model=args.clip_model, clip_weights=args.clip_weights,
+                    online_augment=args.online_augment,
                     **_seg_train_kwargs(args))
         else:
             r.evaluate(args.model_path, args.data_dir, args.output_dir,

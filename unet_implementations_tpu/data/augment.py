@@ -587,6 +587,34 @@ def augment_and_normalize(
     return img, m
 
 
+def augment_and_normalize_with_clip(
+    key: jax.Array,
+    images01: jnp.ndarray,
+    masks: jnp.ndarray,
+    clip_size: int = 224,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """``augment_and_normalize`` that also emits the CLIP-sized view of the
+    AUGMENTED pixels (the live-extraction online path for CLIP_UNet).
+
+    The reference extracts CLIP features per batch from pre-resized 224²
+    copies of the same (offline-augmented) image (``CLIP_UNet/src/
+    train.py:714-719``); with on-device augmentation the 224² view is the
+    bilinear resize of the augmented 512² square — equivalent to the
+    reference Dataset's on-the-fly fallback resize (``CLIP_UNet/src/
+    train.py:275-282``). ImageNet normalization on the clip view preserves
+    the reference quirk (ImageNet stats, not CLIP's own).
+    """
+    from unet_implementations_tpu.ops.resize import resize_bilinear
+
+    has_cat = jnp.any(masks == 1, axis=(1, 2))
+    class_idx = jnp.where(has_cat, 0, 1).astype(jnp.int32)
+    img, m = augment_batch(key, images01, masks, class_idx)
+    clip_img = resize_bilinear(img, (clip_size, clip_size), spatial_axes=(1, 2))
+    img = (img - IMAGENET_MEAN) / IMAGENET_STD
+    clip_img = (clip_img - IMAGENET_MEAN) / IMAGENET_STD
+    return img, m, clip_img
+
+
 # ---------------------------------------------------------------------------
 # Offline expansion (CLI parity with augment_dataset.py)
 # ---------------------------------------------------------------------------

@@ -57,14 +57,20 @@ def build_model(dtype=jnp.bfloat16) -> UNet:
     return UNet(clip_fusion=True, dtype=dtype)
 
 
-def make_datasets(data_dir: str | Path):
+def make_datasets(data_dir: str | Path, include_augmented: bool = True,
+                  normalize_train: bool = True):
     data_dir = Path(data_dir)
     train = PetDataset(
         data_dir / "Train" / "resized",
         data_dir / "Train" / "resized_label",
-        include_augmented=True,
-        clip_dir=data_dir / "Train" / "resized_clip"
-        if (data_dir / "Train" / "resized_clip").exists() else data_dir / "Train" / "resized",
+        include_augmented=include_augmented,
+        normalize=normalize_train,
+        # Online-augment mode derives the 224² view on device from the
+        # augmented pixels — no host clip image needed.
+        clip_dir=None if not normalize_train else (
+            data_dir / "Train" / "resized_clip"
+            if (data_dir / "Train" / "resized_clip").exists()
+            else data_dir / "Train" / "resized"),
         process_index=jax.process_index(),
         process_count=jax.process_count(),
     )
@@ -123,8 +129,13 @@ def train(
     dtype=jnp.bfloat16,
     use_mesh: bool = True,
     num_threads: int = 8,
+    online_augment: bool = False,
     verbose: bool = True,
 ) -> Dict:
+    """``online_augment=True`` augments on device per batch and extracts CLIP
+    features LIVE from the augmented pixels (embeddings can't be cached when
+    the pixels change each epoch — matching the reference's per-batch
+    extraction, ``CLIP_UNet/src/train.py:714-719``)."""
     output_dir = Path(output_dir)
     write_training_config(output_dir, dict(
         data_dir=str(data_dir), output_dir=str(output_dir),
@@ -134,10 +145,14 @@ def train(
         weighted_ce=weighted_ce, static_weights=static_weights,
         dice_weight=dice_weight, ce_weight=ce_weight, patience=patience,
         save_every=save_every, seed=seed, dtype=str(dtype),
-        with_clip_features=True,
+        with_clip_features=True, online_augment=online_augment,
     ))
 
-    train_ds, val_ds = make_datasets(data_dir)
+    train_ds, val_ds = make_datasets(
+        data_dir,
+        include_augmented=not online_augment,
+        normalize_train=not online_augment,
+    )
     if verbose:
         print(f"Training dataset size: {len(train_ds)}")
         print(f"Validation dataset size: {len(val_ds)}")
@@ -153,7 +168,8 @@ def train(
     if embedding_cache:
         if verbose:
             print("Precomputing CLIP embeddings (frozen encoder, computed once)...")
-        train_table = _embedding_table(extractor, train_ds)
+        if not online_augment:
+            train_table = _embedding_table(extractor, train_ds)
         val_table = _embedding_table(extractor, val_ds)
 
     model = build_model(dtype)
@@ -182,12 +198,16 @@ def train(
         best = meta.get("best_metric")
 
     def train_batches(epoch):
-        return _attach_features(
-            batch_iterator(train_ds, batch_size, shuffle=True,
-                           seed=seed * 1000 + epoch, drop_last=True,
-                           num_threads=num_threads),
-            extractor, train_table,
-        )
+        it = batch_iterator(train_ds, batch_size, shuffle=True,
+                            seed=seed * 1000 + epoch, drop_last=True,
+                            num_threads=num_threads)
+        if online_augment:
+            from unet_implementations_tpu.recipes.common import (
+                wrap_online_augment_clip,
+            )
+
+            return wrap_online_augment_clip(it, epoch, seed, extractor)
+        return _attach_features(it, extractor, train_table)
 
     def val_batches():
         return _attach_features(

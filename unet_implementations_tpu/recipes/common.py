@@ -44,6 +44,27 @@ def wrap_online_augment(batch_iter, epoch: int, seed: int):
         yield dict(batch, image=img, mask=msk)
 
 
+def wrap_online_augment_clip(batch_iter, epoch: int, seed: int, extractor):
+    """Online-augment wrapper for the CLIP recipe: augment on device, derive
+    the 224² view of the AUGMENTED pixels, and extract CLIP features live
+    with the frozen encoder (embeddings cannot be cached — the pixels change
+    every epoch; the reference also extracts per batch,
+    ``CLIP_UNet/src/train.py:714-719``)."""
+    from unet_implementations_tpu.data.augment import (
+        augment_and_normalize_with_clip,
+    )
+
+    for i, batch in enumerate(batch_iter):
+        key = jax.random.fold_in(jax.random.key(seed + 7), epoch * 100003 + i)
+        img, msk, clip_img = augment_and_normalize_with_clip(
+            key, jnp.asarray(batch["image"]), jnp.asarray(batch["mask"])
+        )
+        out = dict(batch, image=img, mask=msk,
+                   clip_features=extractor(clip_img))
+        out.pop("clip_image", None)
+        yield out
+
+
 def resize_nearest_np(arr: np.ndarray, size) -> np.ndarray:
     """Host-side nearest resize with torch/cv2 floor index semantics."""
     in_h, in_w = arr.shape[:2]
