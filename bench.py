@@ -67,7 +67,9 @@ def main():
     host = synthetic_batch(0, batch_size, size=size)
     image = jnp.asarray(host["image"], jnp.bfloat16)
     mask = jnp.asarray(host["mask"])
-    infer_image = jnp.concatenate([image] * (infer_batch // batch_size), axis=0)
+    infer_image = jnp.asarray(
+        synthetic_batch(1, infer_batch, size=size)["image"], jnp.bfloat16
+    )
 
     params = model.init(
         jax.random.key(0), jnp.zeros((1, size, size, 3), jnp.bfloat16)
@@ -87,7 +89,9 @@ def main():
         infer_image = shard_batch(infer_image, mesh)
         params = replicate(params, mesh)
 
-    @jax.jit
+    from unet_implementations_tpu.ops.tuning import inference_jit
+
+    @inference_jit
     def infer_step(img):
         # logits are (B, H, W, 3) like the input image — feed back to chain
         out = model.apply({"params": params}, img, deterministic=True)

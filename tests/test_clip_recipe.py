@@ -68,6 +68,26 @@ class TestEmbeddingCache:
         np.testing.assert_allclose(table[2], expected, rtol=1e-5, atol=1e-6)
 
 
+class TestClipDim:
+    def test_vit_l14_dim_threads_through_model(self):
+        # ViT-L/14 embeds at 768, not 512 — the fusion conv must be sized
+        # from the encoder variant (regression: hardcoded 512 crashed L/14).
+        from unet_implementations_tpu.models.clip import CLIP_CONFIGS
+        from unet_implementations_tpu.recipes.clip_unet import build_model
+
+        dim = CLIP_CONFIGS["ViT-L/14"].output_dim
+        assert dim == 768
+        model = build_model(jnp.float32, clip_dim=dim)
+        params = model.init(
+            jax.random.key(0), jnp.zeros((1, 32, 32, 3)), jnp.zeros((1, dim))
+        )["params"]
+        kernel = params["clip_fusion_conv"]["kernel"]
+        assert kernel.shape[2] == 512 + dim  # bottleneck 512 + clip 768
+        out = model.apply({"params": params}, jnp.zeros((1, 32, 32, 3)),
+                          jnp.zeros((1, dim)))
+        assert out.shape == (1, 32, 32, 3)
+
+
 class TestOnlineAugmentWrapper:
     def test_normalizes_and_keeps_labels_valid(self, tmp_path):
         ds = _make_ds(tmp_path)

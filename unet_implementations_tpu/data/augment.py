@@ -565,6 +565,14 @@ IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
 IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
 
 
+def _augment_by_mask_class(key, images01, masks):
+    """Shared online-path core: derive class ids from masks (1 present →
+    cat), run the policy-routed batch augmentation. Returns [0,1] pixels."""
+    has_cat = jnp.any(masks == 1, axis=(1, 2))
+    class_idx = jnp.where(has_cat, 0, 1).astype(jnp.int32)
+    return augment_batch(key, images01, masks, class_idx)
+
+
 @jax.jit
 def augment_and_normalize(
     key: jax.Array,
@@ -580,13 +588,12 @@ def augment_and_normalize(
     of the same policy (class balance is instead handled by the per-class
     aggressiveness, or by keeping the offline expansion — both supported).
     """
-    has_cat = jnp.any(masks == 1, axis=(1, 2))
-    class_idx = jnp.where(has_cat, 0, 1).astype(jnp.int32)
-    img, m = augment_batch(key, images01, masks, class_idx)
+    img, m = _augment_by_mask_class(key, images01, masks)
     img = (img - IMAGENET_MEAN) / IMAGENET_STD
     return img, m
 
 
+@functools.partial(jax.jit, static_argnames=("clip_size",))
 def augment_and_normalize_with_clip(
     key: jax.Array,
     images01: jnp.ndarray,
@@ -606,9 +613,7 @@ def augment_and_normalize_with_clip(
     """
     from unet_implementations_tpu.ops.resize import resize_bilinear
 
-    has_cat = jnp.any(masks == 1, axis=(1, 2))
-    class_idx = jnp.where(has_cat, 0, 1).astype(jnp.int32)
-    img, m = augment_batch(key, images01, masks, class_idx)
+    img, m = _augment_by_mask_class(key, images01, masks)
     clip_img = resize_bilinear(img, (clip_size, clip_size), spatial_axes=(1, 2))
     img = (img - IMAGENET_MEAN) / IMAGENET_STD
     clip_img = (clip_img - IMAGENET_MEAN) / IMAGENET_STD

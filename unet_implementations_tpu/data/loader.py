@@ -177,6 +177,7 @@ def batch_iterator(
         next_submit = prefetch
         for i in range(len(chunks)):
             futs = pending[i]
+            pending[i] = None  # release consumed futures (and their items)
             if next_submit < len(chunks):
                 pending.append(submit(chunks[next_submit]))
                 next_submit += 1

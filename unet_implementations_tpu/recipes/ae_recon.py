@@ -29,6 +29,7 @@ from unet_implementations_tpu.data.loader import PetDataset, batch_iterator
 from unet_implementations_tpu.models.unet import autoencoder_6stage
 from unet_implementations_tpu.ops.losses import reconstruction_loss
 from unet_implementations_tpu.parallel import create_mesh
+from unet_implementations_tpu.ops.tuning import inference_jit
 from unet_implementations_tpu.recipes.common import evaluate_reconstruction
 from unet_implementations_tpu.training import (
     adam_l2,
@@ -205,7 +206,7 @@ def evaluate(
     if verbose:
         print(f"Test dataset size: {len(test_ds)} images")
 
-    @jax.jit
+    @inference_jit
     def forward(params, images):
         return model.apply({"params": params}, images, deterministic=True)
 
@@ -241,7 +242,7 @@ def analyze_latent(model, params, test_ds, data_dir, output_dir, batch_size,
     (``reconstruction/src/evaluate.py:380-440``). Class from Test masks."""
     from unet_implementations_tpu.data.pipeline import is_cat_image
 
-    @jax.jit
+    @inference_jit
     def encode(params, images):
         _, z = model.apply(
             {"params": params}, images, deterministic=True, return_bottleneck=True

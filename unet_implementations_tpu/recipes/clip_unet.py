@@ -32,6 +32,7 @@ from unet_implementations_tpu.data.loader import PetDataset, batch_iterator
 from unet_implementations_tpu.models.clip import ClipFeatureExtractor
 from unet_implementations_tpu.models.unet import UNet
 from unet_implementations_tpu.parallel import create_mesh
+from unet_implementations_tpu.ops.tuning import inference_jit
 from unet_implementations_tpu.recipes.common import evaluate_segmentation
 from unet_implementations_tpu.recipes.our_unet import (
     ARCH_CONFIG as _SEG_ARCH,
@@ -50,11 +51,17 @@ from unet_implementations_tpu.training.checkpoint import (
 )
 from unet_implementations_tpu.training.loop import train_loop, write_training_config
 
-ARCH_CONFIG = dict(_SEG_ARCH, with_clip_features=True, clip_dim=512)
+def arch_config(clip_dim: int = 512) -> dict:
+    return dict(_SEG_ARCH, with_clip_features=True, clip_dim=clip_dim)
 
 
-def build_model(dtype=jnp.bfloat16) -> UNet:
-    return UNet(clip_fusion=True, dtype=dtype)
+ARCH_CONFIG = arch_config()
+
+
+def build_model(dtype=jnp.bfloat16, clip_dim: int = 512) -> UNet:
+    # clip_dim follows the encoder variant (512 for ViT-B/16 and ViT-B/32,
+    # 768 for ViT-L/14 — models/clip.py CLIP_CONFIGS).
+    return UNet(clip_fusion=True, clip_dim=clip_dim, dtype=dtype)
 
 
 def make_datasets(data_dir: str | Path, include_augmented: bool = True,
@@ -172,12 +179,14 @@ def train(
             train_table = _embedding_table(extractor, train_ds)
         val_table = _embedding_table(extractor, val_ds)
 
-    model = build_model(dtype)
+    model = build_model(dtype, clip_dim=extractor.output_dim)
     tx = sgd_nesterov(lr, weight_decay, momentum)
     sample = next(batch_iterator(train_ds, min(2, batch_size)))
     state = create_train_state(
         model, jax.random.key(seed), jnp.asarray(sample["image"]), tx,
-        clip_features=jnp.zeros((int(sample["image"].shape[0]), 512)),
+        clip_features=jnp.zeros(
+            (int(sample["image"].shape[0]), extractor.output_dim)
+        ),
     )
 
     sw = None
@@ -231,7 +240,7 @@ def train(
         patience=patience,
         start_epoch=start_epoch,
         best_metric=best,
-        arch_config=ARCH_CONFIG,
+        arch_config=arch_config(extractor.output_dim),
         verbose=verbose,
     )
 
@@ -249,9 +258,12 @@ def evaluate(
     visualize_samples: int = 0,
     verbose: bool = True,
 ) -> Dict:
-    model = build_model(dtype)
+    from unet_implementations_tpu.models.clip import CLIP_CONFIGS
+
+    clip_dim = CLIP_CONFIGS[clip_model].output_dim
+    model = build_model(dtype, clip_dim=clip_dim)
     abstract = model.init(
-        jax.random.key(0), jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 512))
+        jax.random.key(0), jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, clip_dim))
     )["params"]
     params = restore_params(model_path, abstract)
 
@@ -274,13 +286,13 @@ def evaluate(
         if use_clip_features else None
     )
 
-    @jax.jit
+    @inference_jit
     def forward(params, images, clip_features):
         logits = model.apply({"params": params}, images, clip_features,
                              deterministic=True)
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
-    @jax.jit
+    @inference_jit
     def forward_plain(params, images):
         logits = model.apply({"params": params}, images, None, deterministic=True)
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)

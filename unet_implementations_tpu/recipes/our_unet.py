@@ -25,6 +25,7 @@ import numpy as np
 from unet_implementations_tpu.data.loader import PetDataset, batch_iterator
 from unet_implementations_tpu.models.unet import UNet, unet_6stage
 from unet_implementations_tpu.parallel import create_mesh
+from unet_implementations_tpu.ops.tuning import inference_jit
 from unet_implementations_tpu.recipes.common import evaluate_segmentation
 from unet_implementations_tpu.training import (
     create_train_state,
@@ -224,12 +225,12 @@ def evaluate(
     if verbose:
         print(f"Test dataset size: {len(test_ds)} images")
 
-    @jax.jit
+    @inference_jit
     def forward(params, images):
         logits = model.apply({"params": params}, images, deterministic=True)
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
-    @jax.jit
+    @inference_jit
     def probs(params, images):
         logits = model.apply({"params": params}, images, deterministic=True)
         return jax.nn.softmax(logits, axis=-1)

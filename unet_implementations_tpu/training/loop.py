@@ -118,8 +118,10 @@ def train_loop(
             state, loss = train_step(state, batch, rng)
             losses.append(loss)
             n_train += 1
-            if n_train % run_ahead == 0:
-                jax.block_until_ready(loss)
+            if n_train > run_ahead:
+                # Rolling window: wait on the step dispatched run_ahead steps
+                # ago (not the newest one, which would drain the pipeline).
+                jax.block_until_ready(losses[n_train - run_ahead - 1])
             step_time += time.time() - t0
             if profiling and n_train >= 3:
                 jax.profiler.stop_trace()
