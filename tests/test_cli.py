@@ -1,8 +1,47 @@
 """CLI parser contract tests (flags mirror the reference entry points)."""
 
+import numpy as np
 import pytest
 
 from unet_implementations_tpu.cli import build_parser
+
+
+class TestPredict:
+    def test_predict_segmentation_end_to_end(self, tmp_path):
+        import cv2
+        import jax
+        import jax.numpy as jnp
+
+        from unet_implementations_tpu.models.unet import unet_6stage
+        from unet_implementations_tpu.recipes.common import predict_segmentation
+        from unet_implementations_tpu.training import (
+            create_train_state,
+            sgd_nesterov,
+        )
+        from unet_implementations_tpu.training.checkpoint import save_checkpoint
+
+        model = unet_6stage(dtype=jnp.float32)
+        state = create_train_state(
+            model, jax.random.key(0), jnp.zeros((1, 64, 64, 3)), sgd_nesterov()
+        )
+        save_checkpoint(tmp_path / "ckpt", state, epoch=1, best_metric=0.0)
+
+        imgs = tmp_path / "imgs"
+        imgs.mkdir()
+        rng = np.random.default_rng(0)
+        cv2.imwrite(str(imgs / "a.jpg"),
+                    (rng.random((40, 30, 3)) * 255).astype(np.uint8))
+        cv2.imwrite(str(imgs / "b.png"),
+                    (rng.random((20, 50, 3)) * 255).astype(np.uint8))
+
+        out = tmp_path / "preds"
+        n = predict_segmentation(tmp_path / "ckpt", imgs, out,
+                                 dtype=jnp.float32, verbose=False)
+        assert n == 2
+        mask = cv2.imread(str(out / "a_mask.png"), cv2.IMREAD_GRAYSCALE)
+        assert mask.shape == (40, 30)  # original resolution
+        assert set(np.unique(mask)) <= {0, 1, 2}
+        assert (out / "b_overlay.png").exists()
 
 
 class TestParser:
@@ -64,6 +103,12 @@ class TestParser:
             ["our_unet", "evaluate", "--model_path", "m", "--data_dir", "d",
              "--num_workers", "2", "--device", "cpu"])
         assert args.num_workers == 2
+
+    def test_predict_flags(self):
+        args = build_parser().parse_args(
+            ["predict", "--model_path", "m", "--input", "i"])
+        assert args.output_dir == "predictions"
+        assert args.no_overlay is False
 
     def test_pipeline_and_augment(self):
         args = build_parser().parse_args(

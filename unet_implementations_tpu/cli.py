@@ -182,6 +182,16 @@ def build_parser() -> argparse.ArgumentParser:
     dl = sub.add_parser("download")
     dl.add_argument("--raw_dir", required=True)
     dl.add_argument("--archive", default=None)
+
+    pred = sub.add_parser(
+        "predict", help="run a trained UNet on an image file or directory")
+    pred.add_argument("--model_path", required=True)
+    pred.add_argument("--input", required=True,
+                      help="an image file or a directory of images")
+    pred.add_argument("--output_dir", default="predictions")
+    pred.add_argument("--batch_size", type=int, default=32)
+    pred.add_argument("--no_overlay", action="store_true")
+    pred.add_argument("--f32", action="store_true")
     return parser
 
 
@@ -220,6 +230,16 @@ def main(argv=None):
         from unet_implementations_tpu.data.download import download_and_extract
 
         download_and_extract(args.raw_dir, args.archive)
+        return
+
+    if args.recipe == "predict":
+        from unet_implementations_tpu.recipes.common import predict_segmentation
+
+        predict_segmentation(
+            args.model_path, args.input, args.output_dir,
+            batch_size=args.batch_size, dtype=_dtype(args),
+            overlay=not args.no_overlay,
+        )
         return
 
     if args.recipe == "clip_resize":

@@ -176,6 +176,85 @@ def evaluate_segmentation(
     return results
 
 
+def predict_segmentation(
+    model_path: str | Path,
+    inputs: str | Path,
+    output_dir: str | Path,
+    *,
+    batch_size: int = 32,
+    dtype=None,
+    overlay: bool = True,
+    verbose: bool = True,
+) -> int:
+    """Run the plain 6-stage UNet on an image file or directory of images.
+
+    Writes per-image ``<stem>_mask.png`` (class ids {0,1,2} at the ORIGINAL
+    resolution, nearest-resized back like the eval protocol,
+    ``Our_UNet/src/evaluate.py:189-207``) and, with ``overlay``,
+    ``<stem>_overlay.png`` (colorized mask blended over the image). Returns
+    the number of images processed. Serving-style entry point — the
+    reference only exposes dataset-level evaluation.
+    """
+    import cv2
+    import jax.numpy as jnp
+
+    from unet_implementations_tpu.data.loader import IMAGENET_MEAN, IMAGENET_STD
+    from unet_implementations_tpu.models.unet import unet_6stage
+    from unet_implementations_tpu.ops.tuning import inference_jit
+    from unet_implementations_tpu.training.checkpoint import restore_params
+    from unet_implementations_tpu.utils.visualize import colorize_mask
+
+    dtype = dtype if dtype is not None else jnp.bfloat16
+    inputs = Path(inputs)
+    files = sorted(
+        p for p in ([inputs] if inputs.is_file() else inputs.iterdir())
+        if p.suffix.lower() in (".jpg", ".jpeg", ".png")
+    )
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+
+    model = unet_6stage(dtype=dtype)
+    abstract = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))["params"]
+    params = restore_params(model_path, abstract)
+
+    @inference_jit
+    def forward(images):
+        logits = model.apply({"params": params}, images, deterministic=True)
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    n = 0
+    for start in range(0, len(files), batch_size):
+        chunk = files[start:start + batch_size]
+        imgs, dims, ok = [], [], []
+        for p in chunk:
+            raw = cv2.imread(str(p))
+            if raw is None:
+                if verbose:
+                    print(f"skipping unreadable image: {p}")
+                continue
+            rgb = cv2.cvtColor(raw, cv2.COLOR_BGR2RGB)
+            dims.append(rgb.shape[:2])
+            r = cv2.resize(rgb, (512, 512), interpolation=cv2.INTER_LINEAR)
+            imgs.append(((r.astype(np.float32) / 255.0) - np.asarray(IMAGENET_MEAN))
+                        / np.asarray(IMAGENET_STD))
+            ok.append((p, rgb))
+        if not imgs:
+            continue
+        preds = np.asarray(forward(jnp.asarray(np.stack(imgs), dtype)))
+        for (p, rgb), (oh, ow), pred in zip(ok, dims, preds):
+            pred_r = resize_nearest_np(pred.astype(np.uint8), (oh, ow))
+            cv2.imwrite(str(output_dir / f"{p.stem}_mask.png"), pred_r)
+            if overlay:
+                color = colorize_mask(pred_r)
+                blend = (0.6 * rgb + 0.4 * color).astype(np.uint8)
+                cv2.imwrite(str(output_dir / f"{p.stem}_overlay.png"),
+                            cv2.cvtColor(blend, cv2.COLOR_RGB2BGR))
+            n += 1
+    if verbose:
+        print(f"predicted {n} images -> {output_dir}")
+    return n
+
+
 def evaluate_reconstruction(
     recon_fn: Callable[[Dict], np.ndarray],
     dataset: PetDataset,
