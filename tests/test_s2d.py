@@ -105,6 +105,30 @@ class TestModelEquivalence:
             assert pa.shape == pb.shape
             np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
 
+    def test_remat_is_exact(self):
+        """remat=True gives identical outputs AND gradients (same params)."""
+        make = lambda remat: UNet(
+            features_per_stage=(8, 16), strides=(1, 2),
+            encoder_dropout_rates=(0.0, 0.0), decoder_dropout_rates=(0.0,),
+            remat=remat,
+        )
+        x = jnp.asarray(np.random.default_rng(9).normal(size=(2, 16, 16, 3)),
+                        jnp.float32)
+        params = make(False).init(jax.random.key(0), x)
+        assert jax.tree.structure(params) == jax.tree.structure(
+            make(True).init(jax.random.key(0), x)
+        )
+
+        def loss(p, remat):
+            return jnp.sum(make(remat).apply(p, x) ** 2)
+
+        l0, g0 = jax.value_and_grad(lambda p: loss(p, False))(params)
+        l1, g1 = jax.value_and_grad(lambda p: loss(p, True))(params)
+        np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
     def test_odd_size_falls_back(self):
         model = UNet(features_per_stage=(8, 16), strides=(1, 2),
                      encoder_dropout_rates=(0.0, 0.0),

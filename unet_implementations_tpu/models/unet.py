@@ -64,6 +64,12 @@ class UNet(nn.Module):
     # for the low-channel 512² convs (models/s2d.py). Auto-disabled for odd
     # spatial sizes or a strided first stage.
     s2d_level0: bool = True
+    # Rematerialize (jax.checkpoint) each Conv/Up block under grad: only
+    # block outputs are saved for the backward pass, in-block intermediates
+    # (norm/activation tensors) recompute. Numerically exact. Halves the
+    # activation footprint so larger per-chip train batches fit (b32 is the
+    # single-chip ceiling without it at 512²).
+    remat: bool = False
 
     @property
     def n_stages(self) -> int:
@@ -87,6 +93,15 @@ class UNet(nn.Module):
         n = self.n_stages
         x = x.astype(self.dtype)
 
+        ConvBlockM = (
+            nn.remat(ConvBlock, prevent_cse=False, static_argnums=(2,))
+            if self.remat else ConvBlock
+        )
+        UpBlockM = (
+            nn.remat(UpBlock, prevent_cse=False, static_argnums=(3,))
+            if self.remat else UpBlock
+        )
+
         use_s2d = (
             self.s2d_level0
             and self.strides[0] == 1
@@ -109,7 +124,7 @@ class UNet(nn.Module):
                 )
 
                 x = space_to_depth(x)
-            x = ConvBlock(
+            x = ConvBlockM(
                 features=self.features_per_stage[i],
                 kernel_size=self.kernel_size,
                 stride=self.strides[i],
@@ -119,7 +134,7 @@ class UNet(nn.Module):
                 s2d=s2d_stage,
                 s2d_input_first=s2d_feed,
                 name=f"encoder_{i}",
-            )(x, deterministic=deterministic)
+            )(x, deterministic)
             skips.append(x)  # skip 0 stays in s2d layout for decoder_{n-2}
             if s2d_stage and not (
                 n > 2 and self.strides[1] == 2 and self.kernel_size == 3
@@ -127,7 +142,7 @@ class UNet(nn.Module):
                 x = depth_to_space(x)  # dense for a non-transformable stage 1
 
         # Bottleneck stage (no skip).
-        x = ConvBlock(
+        x = ConvBlockM(
             features=self.features_per_stage[n - 1],
             kernel_size=self.kernel_size,
             stride=self.strides[n - 1],
@@ -135,7 +150,7 @@ class UNet(nn.Module):
             dropout_rate=self.encoder_dropout_rates[n - 1],
             dtype=self.dtype,
             name=f"encoder_{n - 1}",
-        )(x, deterministic=deterministic)
+        )(x, deterministic)
 
         if self.clip_fusion and clip_features is not None:
             cf = clip_features.astype(self.dtype)[:, None, None, :]
@@ -161,7 +176,7 @@ class UNet(nn.Module):
         for d in range(n - 1):
             skip_idx = n - 2 - d
             s2d_stage = use_s2d and skip_idx == 0
-            x = UpBlock(
+            x = UpBlockM(
                 features=self.features_per_stage[skip_idx],
                 kernel_size=self.kernel_size,
                 n_convs=self.n_conv_per_stage_decoder,
@@ -169,7 +184,7 @@ class UNet(nn.Module):
                 dtype=self.dtype,
                 s2d=s2d_stage,
                 name=f"decoder_{d}",
-            )(x, skips[skip_idx], deterministic=deterministic)
+            )(x, skips[skip_idx], deterministic)
 
         from unet_implementations_tpu.models.blocks import ConvOp
 
