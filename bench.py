@@ -110,8 +110,6 @@ def main():
         sgd_nesterov(),
     )
     if mesh is not None:
-        from unet_implementations_tpu.parallel import replicate
-
         state = replicate(state, mesh)
     train_step = make_segmentation_train_step(donate=False)
     batch = {"image": image, "mask": mask}

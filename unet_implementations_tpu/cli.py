@@ -83,9 +83,12 @@ def _dtype(args):
 
 
 def _num_threads(args):
-    if getattr(args, "num_workers", None) is not None:
-        return args.num_workers
-    return args.num_threads
+    # torch's num_workers=0 means "decode in the main process"; our threaded
+    # loader needs >=1 worker, so 0 maps to the default thread count.
+    nw = getattr(args, "num_workers", None)
+    if nw is not None and nw > 0:
+        return nw
+    return getattr(args, "num_threads", 8)
 
 
 def _seg_train_kwargs(args):
@@ -263,7 +266,8 @@ def main(argv=None):
         else:
             r.evaluate(args.model_path, args.data_dir, args.output_dir,
                        batch_size=args.batch_size, dtype=_dtype(args),
-                       visualize_samples=args.visualize_samples)
+                       visualize_samples=args.visualize_samples,
+                       num_threads=_num_threads(args))
     elif args.recipe == "clip_unet":
         from unet_implementations_tpu.recipes import clip_unet as r
 
@@ -277,7 +281,8 @@ def main(argv=None):
                        batch_size=args.batch_size, dtype=_dtype(args),
                        clip_model=args.clip_model, clip_weights=args.clip_weights,
                        use_clip_features=not args.no_clip_features,
-                       visualize_samples=args.visualize_samples)
+                       visualize_samples=args.visualize_samples,
+                       num_threads=_num_threads(args))
     elif args.recipe == "ae_recon":
         from unet_implementations_tpu.recipes import ae_recon as r
 
@@ -293,7 +298,8 @@ def main(argv=None):
         else:
             r.evaluate(args.model_path, args.data_dir, args.output_dir,
                        batch_size=args.batch_size, dtype=_dtype(args),
-                       analyze_latent_space=args.analyze_latent_space)
+                       analyze_latent_space=args.analyze_latent_space,
+                       num_threads=_num_threads(args))
     elif args.recipe == "ae_transfer":
         from unet_implementations_tpu.recipes import ae_transfer as r
 
@@ -305,7 +311,8 @@ def main(argv=None):
         else:
             r.evaluate(args.model_path, args.data_dir, args.output_dir,
                        batch_size=args.batch_size, dtype=_dtype(args),
-                       visualize_samples=args.visualize_samples)
+                       visualize_samples=args.visualize_samples,
+                       num_threads=_num_threads(args))
 
 
 if __name__ == "__main__":

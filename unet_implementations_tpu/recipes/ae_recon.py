@@ -193,6 +193,7 @@ def evaluate(
     batch_size: int = 32,
     dtype=jnp.bfloat16,
     analyze_latent_space: bool = False,
+    num_threads: int = 8,
     verbose: bool = True,
 ) -> Dict:
     model = build_model(dtype)
@@ -212,7 +213,8 @@ def evaluate(
 
     results = evaluate_reconstruction(
         lambda batch: forward(params, jnp.asarray(batch["image"], dtype)),
-        test_ds, batch_size, output_dir, verbose=verbose,
+        test_ds, batch_size, output_dir, num_threads=num_threads,
+        verbose=verbose,
     )
 
     # Comparison artifacts (reference E5/V4: original | recon | error map,

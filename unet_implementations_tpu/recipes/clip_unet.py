@@ -256,6 +256,7 @@ def evaluate(
     clip_weights: Optional[str] = None,
     use_clip_features: bool = True,
     visualize_samples: int = 0,
+    num_threads: int = 8,
     verbose: bool = True,
 ) -> Dict:
     from unet_implementations_tpu.models.clip import CLIP_CONFIGS
@@ -306,5 +307,6 @@ def evaluate(
 
     return evaluate_segmentation(
         predict_fn, test_ds, batch_size, output_dir,
-        visualize_samples=visualize_samples, verbose=verbose,
+        visualize_samples=visualize_samples, num_threads=num_threads,
+        verbose=verbose,
     )

@@ -27,6 +27,13 @@ from unet_implementations_tpu.ops.losses import psnr as psnr_fn, ssim as ssim_fn
 from unet_implementations_tpu.ops.metrics import SegmentationMetrics
 
 
+def _augment_key(seed: int, epoch: int, i: int) -> jax.Array:
+    """Per-batch augmentation key — shared by BOTH online-augment wrappers
+    so the plain and with-clip paths draw identical transforms for the same
+    (seed, epoch, batch)."""
+    return jax.random.fold_in(jax.random.key(seed + 7), epoch * 100003 + i)
+
+
 def wrap_online_augment(batch_iter, epoch: int, seed: int):
     """Apply the on-device augmentation policy to a host batch iterator.
 
@@ -37,9 +44,9 @@ def wrap_online_augment(batch_iter, epoch: int, seed: int):
     from unet_implementations_tpu.data.augment import augment_and_normalize
 
     for i, batch in enumerate(batch_iter):
-        key = jax.random.fold_in(jax.random.key(seed + 7), epoch * 100003 + i)
         img, msk = augment_and_normalize(
-            key, jnp.asarray(batch["image"]), jnp.asarray(batch["mask"])
+            _augment_key(seed, epoch, i),
+            jnp.asarray(batch["image"]), jnp.asarray(batch["mask"])
         )
         yield dict(batch, image=img, mask=msk)
 
@@ -55,9 +62,9 @@ def wrap_online_augment_clip(batch_iter, epoch: int, seed: int, extractor):
     )
 
     for i, batch in enumerate(batch_iter):
-        key = jax.random.fold_in(jax.random.key(seed + 7), epoch * 100003 + i)
         img, msk, clip_img = augment_and_normalize_with_clip(
-            key, jnp.asarray(batch["image"]), jnp.asarray(batch["mask"])
+            _augment_key(seed, epoch, i),
+            jnp.asarray(batch["image"]), jnp.asarray(batch["mask"])
         )
         out = dict(batch, image=img, mask=msk,
                    clip_features=extractor(clip_img))
@@ -87,6 +94,7 @@ def evaluate_segmentation(
     output_dir: Optional[str | Path] = None,
     visualize_samples: int = 0,
     probs_fn: Optional[Callable[[Dict], np.ndarray]] = None,
+    num_threads: int = 8,
     verbose: bool = True,
 ) -> Dict:
     """Dataset-level evaluation at original resolution.
@@ -107,7 +115,8 @@ def evaluate_segmentation(
         viz_dir.mkdir(parents=True, exist_ok=True)
 
     metrics = SegmentationMetrics(num_classes=3, ignore_index=255)
-    for i, batch in enumerate(batch_iterator(dataset, batch_size, shuffle=False)):
+    for i, batch in enumerate(batch_iterator(dataset, batch_size, shuffle=False,
+                                             num_threads=num_threads)):
         preds = np.asarray(predict_fn(batch))
         masks = batch["mask"]
         dims = batch["original_dims"]
@@ -240,7 +249,14 @@ def predict_segmentation(
             ok.append((p, rgb))
         if not imgs:
             continue
-        preds = np.asarray(forward(jnp.asarray(np.stack(imgs), dtype)))
+        stack = np.stack(imgs)
+        # Pad the tail chunk to the full batch size — a second shape would
+        # trigger a full recompile of the 512² UNet (tens of seconds).
+        n_real = stack.shape[0]
+        if n_real < batch_size and start > 0:
+            pad = np.zeros((batch_size - n_real,) + stack.shape[1:], stack.dtype)
+            stack = np.concatenate([stack, pad], axis=0)
+        preds = np.asarray(forward(jnp.asarray(stack, dtype)))[:n_real]
         for (p, rgb), (oh, ow), pred in zip(ok, dims, preds):
             pred_r = resize_nearest_np(pred.astype(np.uint8), (oh, ow))
             cv2.imwrite(str(output_dir / f"{p.stem}_mask.png"), pred_r)
@@ -260,11 +276,13 @@ def evaluate_reconstruction(
     dataset: PetDataset,
     batch_size: int = 32,
     output_dir: Optional[str | Path] = None,
+    num_threads: int = 8,
     verbose: bool = True,
 ) -> Dict:
     """Per-image MSE/PSNR/SSIM over the test set → ``reconstruction_metrics.json``."""
     mses, psnrs, ssims = [], [], []
-    for batch in batch_iterator(dataset, batch_size, shuffle=False):
+    for batch in batch_iterator(dataset, batch_size, shuffle=False,
+                                num_threads=num_threads):
         recon = jnp.asarray(np.asarray(recon_fn(batch)))
         target = jnp.asarray(batch["target"])
         diff = np.asarray(recon - target)

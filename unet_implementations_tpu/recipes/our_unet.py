@@ -211,6 +211,7 @@ def evaluate(
     batch_size: int = 32,
     dtype=jnp.bfloat16,
     visualize_samples: int = 0,
+    num_threads: int = 8,
     verbose: bool = True,
 ) -> Dict:
     model = build_model(dtype)
@@ -242,5 +243,5 @@ def evaluate(
         predict_fn, test_ds, batch_size, output_dir,
         visualize_samples=visualize_samples,
         probs_fn=lambda b: probs(params, jnp.asarray(b["image"], dtype)),
-        verbose=verbose,
+        num_threads=num_threads, verbose=verbose,
     )

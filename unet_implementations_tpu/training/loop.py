@@ -124,11 +124,19 @@ def train_loop(
                 jax.block_until_ready(losses[n_train - run_ahead - 1])
             step_time += time.time() - t0
             if profiling and n_train >= 3:
+                # Ensure the profiled steps' device work has actually executed
+                # before the trace closes (dispatch is async).
+                jax.block_until_ready(losses[-1])
                 jax.profiler.stop_trace()
                 profiling = False
         if profiling:
+            jax.block_until_ready(losses[-1]) if losses else None
             jax.profiler.stop_trace()
-        train_loss = float(np.mean([float(l) for l in losses])) if losses else 0.0
+        # One bulk device fetch (per-step float() would round-trip per step).
+        train_loss = (
+            float(np.mean([np.asarray(v) for v in jax.device_get(losses)]))
+            if losses else 0.0
+        )
         if verbose:
             print(f"  Data loading time: {data_time:.2f}s")
             print(f"  Train step time:   {step_time:.2f}s")
