@@ -98,7 +98,14 @@ def main():
         return out.astype(jnp.bfloat16) * 0.01
 
     log("compiling inference...")
-    dt = time_chained(infer_step, infer_image, iters=10)
+    try:
+        dt = time_chained(infer_step, infer_image, iters=10)
+    except Exception as e:  # e.g. HBM pressure on a busy chip — don't lose the round
+        log(f"inference at b{infer_batch} failed ({type(e).__name__}); "
+            f"falling back to b{batch_size}")
+        infer_batch = batch_size
+        infer_image = image
+        dt = time_chained(infer_step, infer_image, iters=10)
     infer_ips = infer_batch / dt / n_chips
     log(f"inference: {dt * 1e3:.2f} ms/batch{infer_batch} -> "
         f"{infer_ips:.1f} images/sec/chip")
