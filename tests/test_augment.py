@@ -29,6 +29,32 @@ class TestAugmentBatch:
         assert out_i.min() >= 0.0 and out_i.max() <= 1.0
         assert np.all(np.isfinite(out_i))
 
+    def test_custom_policy_is_live_not_baked(self):
+        """A custom policy takes effect even after the default policy has
+        already been traced (regression: POLICY used to be a jit-baked
+        constant, silently ignoring load_policy_yaml results)."""
+        img, mask = _pair()
+        images = jnp.asarray(np.stack([img] * 2))
+        masks = jnp.asarray(np.stack([mask] * 2))
+        cls = jnp.asarray([0, 1], jnp.int32)
+        key = jax.random.key(1)
+
+        # Warm the jit cache with the DEFAULT policy first.
+        default_i, _ = A.augment_batch(key, images, masks, cls)
+
+        # All probabilities zero → identity augmentation.
+        ident = {
+            k: ((0.0, 0.0) if k.endswith("_prob") else v)
+            for k, v in A.POLICY.items()
+        }
+        out_i, out_m = A.augment_batch(key, images, masks, cls, policy=ident)
+        np.testing.assert_allclose(np.asarray(out_i), np.asarray(images),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(out_m), np.asarray(masks))
+        # ...and the default draw is NOT the identity for this key.
+        assert not np.allclose(np.asarray(default_i), np.asarray(images),
+                               atol=1e-3)
+
     def test_mask_values_preserved(self):
         # NEAREST warping + fill 0 must never invent label values.
         img, mask = _pair(1)

@@ -173,6 +173,8 @@ def build_parser() -> argparse.ArgumentParser:
     aug.add_argument("--cat_augmentations", type=int, default=5)
     aug.add_argument("--dog_augmentations", type=int, default=2)
     aug.add_argument("--seed", type=int, default=42)
+    aug.add_argument("--config", default=None,
+                     help="reference-format augmentation_config.yaml")
 
     clipimg = sub.add_parser("clip_resize")
     clipimg.add_argument("--data_dir", required=True)
@@ -212,9 +214,15 @@ def main(argv=None):
     if args.recipe == "augment":
         from unet_implementations_tpu.data.augment import augment_dataset_offline
 
+        policy = None
+        if args.config:
+            from unet_implementations_tpu.data.augment import load_policy_yaml
+
+            policy = load_policy_yaml(args.config)
         stats = augment_dataset_offline(
             args.data_dir, cat_augmentations=args.cat_augmentations,
             dog_augmentations=args.dog_augmentations, seed=args.seed,
+            policy=policy,
         )
         print(stats)
         return

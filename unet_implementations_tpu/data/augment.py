@@ -80,8 +80,11 @@ POLICY: Dict[str, Tuple[float, float]] = {
 }
 
 
-def policy_arrays() -> Dict[str, jnp.ndarray]:
-    return {k: jnp.asarray(v, jnp.float32) for k, v in POLICY.items()}
+def policy_arrays(policy=None) -> Dict[str, jnp.ndarray]:
+    """POLICY-style table → jnp arrays (a jit pytree argument: custom values
+    apply without retracing; the structure is what the trace caches on)."""
+    src = POLICY if policy is None else policy
+    return {k: jnp.asarray(v, jnp.float32) for k, v in src.items()}
 
 
 # Mapping from the reference YAML's nested keys → our flat policy table
@@ -127,18 +130,23 @@ def load_policy_yaml(path) -> Dict[str, Tuple[float, float]]:
     """Build a policy table from a reference-format augmentation YAML.
 
     Keys absent from the YAML keep the built-in defaults. Mutates nothing;
-    assign the result to ``POLICY`` (module-level) or pass through a custom
-    ``policy_arrays``-style dict to ``augment_batch`` wrappers.
+    pass the result as the ``policy=`` argument of ``augment_batch`` /
+    ``augment_and_normalize`` / ``augment_and_normalize_with_clip`` /
+    ``augment_dataset_offline`` (it is a jit ARGUMENT, not a baked constant).
+    Malformed entries (scalars where lists are expected, empty file) fall
+    back to the defaults rather than raising.
     """
     import yaml
 
     with open(path) as f:
-        cfg = yaml.safe_load(f)
+        cfg = yaml.safe_load(f) or {}
 
     def lookup(tree, keypath):
         node = tree
         for k in keypath:
             if isinstance(k, int):
+                if not isinstance(node, (list, tuple)) or k >= len(node):
+                    return None
                 node = node[k]
             else:
                 if not isinstance(node, dict) or k not in node:
@@ -148,8 +156,8 @@ def load_policy_yaml(path) -> Dict[str, Tuple[float, float]]:
 
     policy = dict(POLICY)
     for our_key, keypath in _YAML_KEYMAP.items():
-        cat_v = lookup(cfg.get("cat", {}), keypath)
-        dog_v = lookup(cfg.get("dog", {}), keypath)
+        cat_v = lookup(cfg.get("cat") or {}, keypath)
+        dog_v = lookup(cfg.get("dog") or {}, keypath)
         default = POLICY[our_key]
         policy[our_key] = (
             cat_v if cat_v is not None else default[0],
@@ -184,7 +192,11 @@ def _scale_rotate(scale, angle_deg, cx, cy):
 
 
 def _sample_homography(key, h, w, p) -> jnp.ndarray:
-    """Compose flip / shift-scale-rotate / resized-crop / perspective."""
+    """Compose flip / shift-scale-rotate / resized-crop in the reference's
+    FORWARD order (flip first — augmentation_config.yaml order). Matrices
+    map output→source, so the forward chain img = rrc(ssr(flip(x))) composes
+    as ``H = M_flip @ M_ssr @ M_rrc`` — each later forward op RIGHT-multiplies.
+    """
     k1, k2, k3, k4, k5, k6, k7, k8 = jax.random.split(key, 8)
     H = _identity_h()
 
@@ -192,7 +204,7 @@ def _sample_homography(key, h, w, p) -> jnp.ndarray:
     do_flip = jax.random.uniform(k1) < p["hflip_prob"]
     flip = jnp.array([[-1.0, 0.0, w - 1.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]],
                      jnp.float32)
-    H = jnp.where(do_flip, flip @ H, H)
+    H = jnp.where(do_flip, H @ flip, H)
 
     # ShiftScaleRotate
     do_ssr = jax.random.uniform(k2) < p["ssr_prob"]
@@ -203,7 +215,7 @@ def _sample_homography(key, h, w, p) -> jnp.ndarray:
         _scale_rotate(scale, angle, (w - 1) / 2, (h - 1) / 2)
         @ _translate(-shift[0] * w, -shift[1] * h)
     )
-    H = jnp.where(do_ssr, ssr @ H, H)
+    H = jnp.where(do_ssr, H @ ssr, H)
 
     # RandomResizedCrop: crop a random sub-box, resize back to full frame.
     do_rrc = jax.random.uniform(k6) < p["rrc_prob"]
@@ -216,7 +228,7 @@ def _sample_homography(key, h, w, p) -> jnp.ndarray:
         [[side, 0.0, off[0] * w], [0.0, side, off[1] * h], [0.0, 0.0, 1.0]],
         jnp.float32,
     )
-    H = jnp.where(do_rrc, rrc @ H, H)
+    H = jnp.where(do_rrc, H @ rrc, H)
     return H
 
 
@@ -254,9 +266,11 @@ def _displacement_field(key, h, w, p) -> Tuple[jnp.ndarray, jnp.ndarray]:
     elastic = jax.image.resize(coarse, (2, h, w), method="linear")
 
     # Grid distortion: per-cell random stretch = coarse field of offsets.
+    # Per-axis scaling: dy in units of cell height, dx of cell WIDTH.
     n_steps = 5
     cell = jax.random.uniform(k2, (2, n_steps, n_steps), minval=-1.0, maxval=1.0)
-    grid = jax.image.resize(cell * p["grid_distort_limit"] * (h / n_steps) * 0.5,
+    axis_scale = jnp.array([h, w], jnp.float32).reshape(2, 1, 1) / n_steps
+    grid = jax.image.resize(cell * p["grid_distort_limit"] * axis_scale * 0.5,
                             (2, h, w), method="linear")
 
     # Optical (radial) distortion: dr = k * r^3 normalized.
@@ -364,12 +378,11 @@ def _hsv_to_rgb(hsv):
     return jnp.stack([r, g, b], axis=-1)
 
 
-def _equalize_lut(channel_u8: jnp.ndarray, clip_limit: float = 0.0) -> jnp.ndarray:
-    """Histogram-equalization LUT for one uint8-valued channel.
+def _lut_from_hist(hist: jnp.ndarray, clip_limit: float = 0.0) -> jnp.ndarray:
+    """Equalization LUT from a 256-bin histogram.
 
     clip_limit>0 applies CLAHE-style contrast limiting (global approximation
     of the reference's 8x8-tile CLAHE — policy-level equivalence)."""
-    hist = jnp.bincount(channel_u8.reshape(-1), length=256).astype(jnp.float32)
     if clip_limit > 0:
         cap = clip_limit * jnp.mean(hist)
         excess = jnp.sum(jnp.maximum(hist - cap, 0.0))
@@ -377,6 +390,12 @@ def _equalize_lut(channel_u8: jnp.ndarray, clip_limit: float = 0.0) -> jnp.ndarr
     cdf = jnp.cumsum(hist)
     cdf = (cdf - cdf[0]) / jnp.maximum(cdf[-1] - cdf[0], 1.0)
     return cdf  # 256-entry LUT in [0,1]
+
+
+def _equalize_lut(channel_u8: jnp.ndarray, clip_limit: float = 0.0) -> jnp.ndarray:
+    """Histogram-equalization LUT for one uint8-valued channel."""
+    hist = jnp.bincount(channel_u8.reshape(-1), length=256).astype(jnp.float32)
+    return _lut_from_hist(hist, clip_limit)
 
 
 def _gaussian_blur(img, sigma, ksize: int = 9):
@@ -481,15 +500,19 @@ def augment_one(
     pick_h = jax.random.randint(keys[15], (), 0, 3)
     u8 = jnp.clip(image * 255.0, 0, 255).astype(jnp.int32)
 
-    def apply_lut(clip):
-        chans = []
+    # ONE histogram per channel (bincount scatters are expensive on TPU);
+    # both the CLAHE and plain-equalize LUTs derive from it.
+    def apply_luts():
+        clahe_ch, eq_ch = [], []
         for c in range(3):
-            lut = _equalize_lut(u8[..., c], clip_limit=clip)
-            chans.append(lut[u8[..., c]])
-        return jnp.stack(chans, axis=-1)
+            hist = jnp.bincount(
+                u8[..., c].reshape(-1), length=256
+            ).astype(jnp.float32)
+            clahe_ch.append(_lut_from_hist(hist, 4.0)[u8[..., c]])
+            eq_ch.append(_lut_from_hist(hist, 0.0)[u8[..., c]])
+        return jnp.stack(clahe_ch, axis=-1), jnp.stack(eq_ch, axis=-1)
 
-    img_clahe = apply_lut(4.0)
-    img_eq = apply_lut(0.0)
+    img_clahe, img_eq = apply_luts()
     gray = (0.299 * image[..., 0] + 0.587 * image[..., 1] + 0.114 * image[..., 2])
     img_gray = jnp.repeat(gray[..., None], 3, axis=-1)
     histed = jax.lax.switch(
@@ -546,38 +569,62 @@ def augment_one(
     return image, mask
 
 
-@functools.partial(jax.jit, static_argnames=())
-def augment_batch(
-    key: jax.Array,
-    images: jnp.ndarray,      # (B, H, W, 3) float32 [0,1]
-    masks: jnp.ndarray,       # (B, H, W) int32
-    class_indices: jnp.ndarray,  # (B,) int32 0=cat 1=dog
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """vmapped batch augmentation; one fused XLA program on device."""
-    policy = policy_arrays()
+@jax.jit
+def _augment_batch_jit(key, images, masks, class_indices, policy):
     keys = jax.random.split(key, images.shape[0])
     return jax.vmap(lambda k, i, m, c: augment_one(k, i, m, c, policy))(
         keys, images, masks, class_indices
     )
 
 
-IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
-IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
+def augment_batch(
+    key: jax.Array,
+    images: jnp.ndarray,      # (B, H, W, 3) float32 [0,1]
+    masks: jnp.ndarray,       # (B, H, W) int32
+    class_indices: jnp.ndarray,  # (B,) int32 0=cat 1=dog
+    policy=None,              # POLICY-style table (e.g. load_policy_yaml)
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """vmapped batch augmentation; one fused XLA program on device.
+
+    ``policy`` defaults to the built-in table; a custom table (same keys,
+    e.g. from ``load_policy_yaml``) is a jit ARGUMENT, so its values take
+    effect on every call — not a baked-in trace constant.
+    """
+    return _augment_batch_jit(key, images, masks, class_indices,
+                              policy_arrays(policy))
 
 
-def _augment_by_mask_class(key, images01, masks):
+# Canonical values live in data/loader.py — one source for the loader's
+# host normalization, this on-device path, and visualization's denormalize.
+from unet_implementations_tpu.data.loader import (  # noqa: E402
+    IMAGENET_MEAN as _IMAGENET_MEAN_NP,
+    IMAGENET_STD as _IMAGENET_STD_NP,
+)
+
+IMAGENET_MEAN = jnp.asarray(_IMAGENET_MEAN_NP)
+IMAGENET_STD = jnp.asarray(_IMAGENET_STD_NP)
+
+
+def _augment_by_mask_class(key, images01, masks, policy):
     """Shared online-path core: derive class ids from masks (1 present →
     cat), run the policy-routed batch augmentation. Returns [0,1] pixels."""
     has_cat = jnp.any(masks == 1, axis=(1, 2))
     class_idx = jnp.where(has_cat, 0, 1).astype(jnp.int32)
-    return augment_batch(key, images01, masks, class_idx)
+    return _augment_batch_jit(key, images01, masks, class_idx, policy)
 
 
 @jax.jit
+def _augment_and_normalize_jit(key, images01, masks, policy):
+    img, m = _augment_by_mask_class(key, images01, masks, policy)
+    img = (img - IMAGENET_MEAN) / IMAGENET_STD
+    return img, m
+
+
 def augment_and_normalize(
     key: jax.Array,
     images01: jnp.ndarray,   # (B, H, W, 3) float32 in [0,1] (normalize=False loader)
     masks: jnp.ndarray,      # (B, H, W) int32
+    policy=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Online training-path augmentation: augment → ImageNet-normalize.
 
@@ -587,18 +634,30 @@ def augment_and_normalize(
     reference's offline 5×/2× expansion with per-epoch stochastic transforms
     of the same policy (class balance is instead handled by the per-class
     aggressiveness, or by keeping the offline expansion — both supported).
+    ``policy`` is a jit argument (see ``augment_batch``).
     """
-    img, m = _augment_by_mask_class(key, images01, masks)
-    img = (img - IMAGENET_MEAN) / IMAGENET_STD
-    return img, m
+    return _augment_and_normalize_jit(key, images01, masks,
+                                      policy_arrays(policy))
 
 
 @functools.partial(jax.jit, static_argnames=("clip_size",))
+def _augment_and_normalize_clip_jit(key, images01, masks, policy,
+                                    clip_size=224):
+    from unet_implementations_tpu.ops.resize import resize_bilinear
+
+    img, m = _augment_by_mask_class(key, images01, masks, policy)
+    clip_img = resize_bilinear(img, (clip_size, clip_size), spatial_axes=(1, 2))
+    img = (img - IMAGENET_MEAN) / IMAGENET_STD
+    clip_img = (clip_img - IMAGENET_MEAN) / IMAGENET_STD
+    return img, m, clip_img
+
+
 def augment_and_normalize_with_clip(
     key: jax.Array,
     images01: jnp.ndarray,
     masks: jnp.ndarray,
     clip_size: int = 224,
+    policy=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """``augment_and_normalize`` that also emits the CLIP-sized view of the
     AUGMENTED pixels (the live-extraction online path for CLIP_UNet).
@@ -611,13 +670,9 @@ def augment_and_normalize_with_clip(
     train.py:275-282``). ImageNet normalization on the clip view preserves
     the reference quirk (ImageNet stats, not CLIP's own).
     """
-    from unet_implementations_tpu.ops.resize import resize_bilinear
-
-    img, m = _augment_by_mask_class(key, images01, masks)
-    clip_img = resize_bilinear(img, (clip_size, clip_size), spatial_axes=(1, 2))
-    img = (img - IMAGENET_MEAN) / IMAGENET_STD
-    clip_img = (clip_img - IMAGENET_MEAN) / IMAGENET_STD
-    return img, m, clip_img
+    return _augment_and_normalize_clip_jit(
+        key, images01, masks, policy_arrays(policy), clip_size=clip_size
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -644,6 +699,7 @@ def augment_dataset_offline(
     dog_augmentations: int = 2,
     seed: int = 42,
     batch_size: int = 8,
+    policy=None,
     verbose: bool = True,
 ):
     """Expand Train/{resized,resized_label} into Train/augmented/{images,masks}.
@@ -676,7 +732,7 @@ def augment_dataset_offline(
         msks = jnp.asarray(np.stack([q[1] for q in queue]), jnp.int32)
         clss = jnp.asarray(np.asarray([q[2] for q in queue]), jnp.int32)
         key, sub = jax.random.split(key)
-        aug_i, aug_m = augment_batch(sub, imgs, msks, clss)
+        aug_i, aug_m = augment_batch(sub, imgs, msks, clss, policy=policy)
         aug_i = np.clip(np.asarray(aug_i) * 255.0, 0, 255).astype(np.uint8)
         aug_m = np.asarray(aug_m).astype(np.uint8)
         for (_, _, _, stem), ai, am in zip(queue, aug_i, aug_m):

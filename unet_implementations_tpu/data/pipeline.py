@@ -123,6 +123,12 @@ def remap_raw_mask(mask: np.ndarray, filename: str) -> np.ndarray:
     non-{0,255} value, else any (0,255)-exclusive pixels, else second-most-
     common histogram value, else everything non-bg/border. Class from
     filename breed matching. Border 255 preserved.
+
+    NOTE: the third and fourth fallbacks are unreachable — in the reference
+    too (if no value outside {0,255} exists, the "non-zero non-border"
+    and histogram branches can never fire either). Ported structurally for
+    line-by-line parity; the final everything-non-bg/border rescue below is
+    the branch that actually catches such masks.
     """
     if mask.ndim > 2:
         mask = mask[:, :, 0]

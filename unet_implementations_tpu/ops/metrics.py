@@ -94,7 +94,16 @@ class SegmentationMetrics:
         """Accumulate one prediction/target pair (any matching shape)."""
         pred = np.asarray(pred).reshape(-1).astype(np.int64)
         target = np.asarray(target).reshape(-1).astype(np.int64)
-        valid = target != self.ignore_index
+        # Stray target labels outside [0, num_classes) (other than the ignore
+        # index) have no row in the confusion matrix — drop them, matching
+        # the device-side ``confusion_matrix`` (JAX out-of-bounds scatters
+        # drop). Real pipelines never produce them (the loader clamps,
+        # Our_UNet/src/train.py:300), this only hardens direct callers.
+        valid = (
+            (target != self.ignore_index)
+            & (target >= 0)
+            & (target < self.num_classes)
+        )
         t = target[valid]
         p = np.clip(pred[valid], 0, self.num_classes - 1)
         idx = t * self.num_classes + p

@@ -34,7 +34,7 @@ def _augment_key(seed: int, epoch: int, i: int) -> jax.Array:
     return jax.random.fold_in(jax.random.key(seed + 7), epoch * 100003 + i)
 
 
-def wrap_online_augment(batch_iter, epoch: int, seed: int):
+def wrap_online_augment(batch_iter, epoch: int, seed: int, policy=None):
     """Apply the on-device augmentation policy to a host batch iterator.
 
     Expects batches from a ``normalize=False`` loader ([0,1] images);
@@ -46,12 +46,14 @@ def wrap_online_augment(batch_iter, epoch: int, seed: int):
     for i, batch in enumerate(batch_iter):
         img, msk = augment_and_normalize(
             _augment_key(seed, epoch, i),
-            jnp.asarray(batch["image"]), jnp.asarray(batch["mask"])
+            jnp.asarray(batch["image"]), jnp.asarray(batch["mask"]),
+            policy=policy,
         )
         yield dict(batch, image=img, mask=msk)
 
 
-def wrap_online_augment_clip(batch_iter, epoch: int, seed: int, extractor):
+def wrap_online_augment_clip(batch_iter, epoch: int, seed: int, extractor,
+                             policy=None):
     """Online-augment wrapper for the CLIP recipe: augment on device, derive
     the 224² view of the AUGMENTED pixels, and extract CLIP features live
     with the frozen encoder (embeddings cannot be cached — the pixels change
@@ -64,7 +66,8 @@ def wrap_online_augment_clip(batch_iter, epoch: int, seed: int, extractor):
     for i, batch in enumerate(batch_iter):
         img, msk, clip_img = augment_and_normalize_with_clip(
             _augment_key(seed, epoch, i),
-            jnp.asarray(batch["image"]), jnp.asarray(batch["mask"])
+            jnp.asarray(batch["image"]), jnp.asarray(batch["mask"]),
+            policy=policy,
         )
         out = dict(batch, image=img, mask=msk,
                    clip_features=extractor(clip_img))

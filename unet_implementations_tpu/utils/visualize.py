@@ -19,8 +19,10 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
-IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+from unet_implementations_tpu.data.loader import (  # noqa: E402
+    IMAGENET_MEAN,
+    IMAGENET_STD,
+)
 
 CLASS_COLORS = np.array(
     [[0, 0, 0], [255, 0, 0], [0, 255, 0]], np.uint8
