@@ -69,6 +69,87 @@ class TestSegmentationLoop:
         # best model saved (first epoch is always an improvement from 0)
         assert (tmp_path / "best_model").exists()
 
+    def test_partial_val_batch_on_mesh(self, tmp_path):
+        """Final val batch not divisible by the device count must not crash
+        (it is replicated instead of sharded — regression for the
+        indivisible-device_put ValueError)."""
+        from unet_implementations_tpu.parallel import create_mesh
+
+        model = tiny()
+        b = synthetic_batch(0, 2, 32)
+        state = create_train_state(model, jax.random.key(0),
+                                   jnp.asarray(b["image"]), sgd_nesterov())
+        tb, _ = batches()
+
+        def vb():
+            yield synthetic_batch(500, 8, 32)
+            yield synthetic_batch(501, 3, 32)  # 3 % 8 devices != 0
+
+        result = train_loop(
+            state,
+            train_step=make_segmentation_train_step(donate=False),
+            eval_step=make_segmentation_eval_step(),
+            train_batches=tb, val_batches=vb,
+            lr_schedule=poly_lr(5e-3, 1), epochs=1,
+            output_dir=tmp_path, verbose=False, mesh=create_mesh(),
+        )
+        assert result["epochs_run"] == 1
+
+    def test_best_model_written_even_for_zero_metric(self, tmp_path):
+        """A collapsed run (foreground dice stuck at 0.0) still writes
+        best_model so the evaluate flow has a checkpoint (the reference's
+        0.0 init + strict > would never save one)."""
+        model = tiny()
+        b = synthetic_batch(0, 2, 32)
+        state = create_train_state(model, jax.random.key(0),
+                                   jnp.asarray(b["image"]), sgd_nesterov())
+        tb, vb = batches()
+
+        real = make_segmentation_eval_step()
+
+        def zero_dice_eval(state, batch):
+            out = dict(real(state, batch))
+            out["dice"] = jnp.zeros(3)
+            return out
+
+        train_loop(
+            state,
+            train_step=make_segmentation_train_step(donate=False),
+            eval_step=zero_dice_eval,
+            train_batches=tb, val_batches=vb,
+            lr_schedule=poly_lr(5e-3, 1), epochs=1,
+            output_dir=tmp_path, verbose=False,
+        )
+        assert (tmp_path / "best_model").exists()
+
+    def test_resume_truncates_stale_csv_rows(self, tmp_path):
+        """Resume drops CSV rows past the resume epoch (no duplicate rows)."""
+        model = tiny()
+        b = synthetic_batch(0, 2, 32)
+        state = create_train_state(model, jax.random.key(0),
+                                   jnp.asarray(b["image"]), sgd_nesterov())
+        from unet_implementations_tpu.training.loop import SEG_CSV_HEADER
+
+        stale = [SEG_CSV_HEADER] + [
+            f"{e},1.0,1.0,0.1,0.1,0.1,0.1,0.005,1.0" for e in (1, 2, 3, 4)
+        ]
+        (tmp_path / "training_log.csv").write_text("\n".join(stale) + "\n")
+        tb, vb = batches()
+        train_loop(
+            state,
+            train_step=make_segmentation_train_step(donate=False),
+            eval_step=make_segmentation_eval_step(),
+            train_batches=tb, val_batches=vb,
+            lr_schedule=poly_lr(5e-3, 4), epochs=4,
+            output_dir=tmp_path, verbose=False,
+            start_epoch=2, best_metric=0.1,
+        )
+        with open(tmp_path / "training_log.csv") as f:
+            rows = list(csv.DictReader(f))
+        assert [r["epoch"] for r in rows] == ["1", "2", "3", "4"]
+        # rows 3/4 are the NEW run's values, not the stale 1.0 placeholders
+        assert rows[2]["train_loss"] != "1.0"
+
     def test_resume_continues_epochs(self, tmp_path):
         from unet_implementations_tpu.training.checkpoint import (
             restore_checkpoint, save_checkpoint)

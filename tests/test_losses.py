@@ -134,6 +134,35 @@ class TestCombined:
 
 
 class TestReconstruction:
+    def test_perceptual_weight_actually_contributes(self):
+        """Regression: the AE recipe used to parse perceptual_weight but
+        never pass feature_fns, silently training plain MSE."""
+        import jax
+
+        from unet_implementations_tpu.models.vgg import make_features_fn
+
+        rng = np.random.default_rng(7)
+        a = jnp.asarray(rng.random((1, 32, 32, 3)), jnp.float32)
+        b = jnp.asarray(rng.random((1, 32, 32, 3)), jnp.float32)
+        fn = make_features_fn(jax.random.key(0), (1, 32, 32, 3),
+                              taps=("relu1_2",))
+        mse_only = L.reconstruction_loss(a, b, mse_weight=1.0)
+        combined = L.reconstruction_loss(
+            a, b, mse_weight=1.0, perceptual_weight=0.5, feature_fns=fn
+        )
+        assert float(combined) > float(mse_only)
+        # the single-callable path accepts a dict-returning trunk
+        p = L.perceptual_loss(a, b, fn)
+        assert np.isfinite(float(p)) and float(p) > 0
+
+    def test_make_train_step_requires_features_for_perceptual(self):
+        import pytest
+
+        from unet_implementations_tpu.recipes.ae_recon import make_train_step
+
+        with pytest.raises(ValueError):
+            make_train_step(perceptual_weight=0.5)
+
     def test_psnr_matches_torch_formula(self):
         rng = np.random.default_rng(8)
         a = rng.random((2, 16, 16, 3)).astype(np.float32)

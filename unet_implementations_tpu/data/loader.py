@@ -70,6 +70,8 @@ class PetDataset:
             self.aug_files = set()
 
         # Multi-host input sharding: each host reads a disjoint stripe.
+        self.process_index = process_index
+        self.process_count = process_count
         if process_count > 1:
             self.image_files = self.image_files[process_index::process_count]
 

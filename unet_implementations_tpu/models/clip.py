@@ -15,8 +15,9 @@ fusion path itself is exercised either way, and the reference's published
 CLIP eval ran *without* CLIP conditioning anyway (``CLIP_UNet/src/
 evaluate.py`` passes no features).
 
-A precomputed-embeddings cache path is also provided (``embed_dataset``) —
-the cheaper equivalent of the reference's frozen no-grad usage.
+Precomputed-embedding caching lives in the recipe
+(``recipes/clip_unet.py::_embedding_table``) — the cheaper equivalent of the
+reference's frozen no-grad usage.
 """
 
 from __future__ import annotations
@@ -205,7 +206,6 @@ def load_torch_clip_weights(path: str | Path, abstract_params: Dict) -> Dict:
     p["proj"] = get("proj")
 
     n_layers = len([k for k in p if k.startswith("block_")])
-    heads_dim = width
     for i in range(n_layers):
         blk = p[f"block_{i}"]
         base = f"transformer.resblocks.{i}."
@@ -241,27 +241,3 @@ def load_torch_clip_weights(path: str | Path, abstract_params: Dict) -> Dict:
         blk["mlp_proj"]["bias"] = get(base + "mlp.c_proj.bias")
 
     return jax.tree.map(jnp.asarray, p)
-
-
-def embed_dataset(
-    extractor: ClipFeatureExtractor,
-    dataset,
-    batch_size: int = 64,
-    cache_path: Optional[str | Path] = None,
-) -> Dict[str, np.ndarray]:
-    """Precompute embeddings for every image (filename → (output_dim,)).
-
-    Matches the reference's frozen no-grad usage at a fraction of the cost:
-    embeddings are computed once and joined to batches by filename.
-    """
-    from unet_implementations_tpu.data.loader import batch_iterator
-
-    names = [p.name for p in dataset.image_files]
-    feats = []
-    for batch in batch_iterator(dataset, batch_size, shuffle=False):
-        feats.append(np.asarray(extractor(jnp.asarray(batch["clip_image"]))))
-    all_feats = np.concatenate(feats)[: len(names)]
-    table = {n: all_feats[i] for i, n in enumerate(names)}
-    if cache_path is not None:
-        np.savez(cache_path, names=np.array(names), feats=all_feats)
-    return table

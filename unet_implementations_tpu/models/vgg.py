@@ -61,6 +61,24 @@ class VGG16Features(nn.Module):
         return out
 
 
+def make_features_fn(
+    rng: jax.Array,
+    input_shape: Tuple[int, ...] = (1, 64, 64, 3),
+    taps: Sequence[str] = ("relu1_2", "relu2_2", "relu3_3", "relu4_3"),
+    dtype: Any = jnp.float32,
+    params=None,
+) -> Callable[[jax.Array], Dict[str, jax.Array]]:
+    """Frozen callable x → {tap: features} for ``ops.losses.perceptual_loss``.
+
+    ONE trunk pass produces every tap (the module already returns the dict);
+    per-tap closures would re-run the trunk once per tap per branch.
+    """
+    model = VGG16Features(taps=taps, dtype=dtype)
+    if params is None:
+        params = model.init(rng, jnp.zeros(input_shape))["params"]
+    return jax.tree_util.Partial(model.apply, {"params": params})
+
+
 def make_feature_fns(
     rng: jax.Array,
     input_shape: Tuple[int, ...] = (1, 64, 64, 3),
@@ -68,14 +86,13 @@ def make_feature_fns(
     dtype: Any = jnp.float32,
     params=None,
 ) -> List[Callable[[jax.Array], jax.Array]]:
-    """Per-tap frozen feature callables for ``ops.losses.perceptual_loss``."""
-    model = VGG16Features(taps=taps, dtype=dtype)
-    if params is None:
-        params = model.init(rng, jnp.zeros(input_shape))["params"]
-    apply = jax.tree_util.Partial(model.apply, {"params": params})
+    """Per-tap callables (legacy shape of the API; each one re-runs the
+    trunk — prefer ``make_features_fn``, which ``perceptual_loss`` also
+    accepts directly)."""
+    fn = make_features_fn(rng, input_shape, taps, dtype, params)
 
     def make(tap):
-        return lambda x: apply(x)[tap]
+        return lambda x: fn(x)[tap]
 
     return [make(t) for t in taps]
 

@@ -238,14 +238,21 @@ def perceptual_loss(
 ) -> jax.Array:
     """Feature-space MSE averaged over extractor layers.
 
-    ``feature_fns`` maps normalized NHWC images to feature maps (e.g. VGG16
-    relu1_2/2_2/3_3/4_3 — see ``models/vgg.py``). The target branch is
-    detached, matching ``AE_pretrained/reconstruction/models/losses.py:138-168``.
+    ``feature_fns`` is either a single callable mapping normalized NHWC
+    images to a dict of feature maps (``models/vgg.py::make_features_fn`` —
+    ONE trunk pass per branch) or a sequence of per-tap callables. The
+    target branch is detached, matching
+    ``AE_pretrained/reconstruction/models/losses.py:138-168``.
     """
     m = jnp.asarray(mean, jnp.float32)
     s = jnp.asarray(std, jnp.float32)
     pred_n = (pred.astype(jnp.float32) - m) / s
     target_n = (target.astype(jnp.float32) - m) / s
+    if callable(feature_fns):
+        pf = feature_fns(pred_n)
+        tf = jax.lax.stop_gradient(feature_fns(target_n))
+        losses = [mse_loss(pf[k], tf[k]) for k in sorted(pf)]
+        return sum(losses) / len(losses)
     loss = 0.0
     for fn in feature_fns:
         pf = fn(pred_n)

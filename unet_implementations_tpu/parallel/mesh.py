@@ -41,11 +41,25 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Any, mesh: Optional[Mesh]) -> Any:
-    """Device-put a host batch, sharding every leaf's leading dim on ``data``."""
+    """Device-put a host batch, sharding every leaf's leading dim on ``data``.
+
+    A leading dim not divisible by the mesh size (e.g. the final partial
+    validation batch — val loaders keep every image, ``drop_last=False``)
+    cannot be laid out on the ``data`` axis; such leaves are REPLICATED
+    instead. XLA then computes that batch redundantly on every device —
+    identical numbers, no crash, negligible cost for one tail batch.
+    """
     if mesh is None:
         return jax.device_put(batch)
-    sharding = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    n = mesh.devices.size
+    sharded = batch_sharding(mesh)
+    replicated = replicated_sharding(mesh)
+
+    def put(x):
+        divisible = getattr(x, "ndim", 0) >= 1 and x.shape[0] % n == 0
+        return jax.device_put(x, sharded if divisible else replicated)
+
+    return jax.tree.map(put, batch)
 
 
 def replicate(tree: Any, mesh: Optional[Mesh]) -> Any:

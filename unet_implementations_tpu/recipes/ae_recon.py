@@ -72,7 +72,15 @@ def make_datasets(data_dir: str | Path):
 
 
 def make_train_step(mse_weight=1.0, perceptual_weight=0.0, ssim_weight=0.0,
-                    donate: bool = True):
+                    donate: bool = True, feature_fns=None):
+    """``feature_fns`` (``models/vgg.py::make_features_fn``) is required for
+    a nonzero ``perceptual_weight`` — ``train`` wires it automatically."""
+    if perceptual_weight > 0 and feature_fns is None:
+        raise ValueError(
+            "perceptual_weight > 0 requires feature_fns "
+            "(models/vgg.py::make_features_fn)"
+        )
+
     def train_step(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
 
@@ -84,6 +92,7 @@ def make_train_step(mse_weight=1.0, perceptual_weight=0.0, ssim_weight=0.0,
             return reconstruction_loss(
                 recon, batch["target"], mse_weight=mse_weight,
                 perceptual_weight=perceptual_weight, ssim_weight=ssim_weight,
+                feature_fns=feature_fns,
             )
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
@@ -132,7 +141,17 @@ def train(
     sample = next(batch_iterator(train_ds, min(2, batch_size)))
     state = create_train_state(model, jax.random.key(seed), jnp.asarray(sample["image"]), tx)
 
-    train_step = make_train_step(mse_weight, perceptual_weight, ssim_weight)
+    feature_fns = None
+    if perceptual_weight > 0:
+        from unet_implementations_tpu.models.vgg import make_features_fn
+
+        # Random-init VGG like the reference's weights=None quirk
+        # (AE_pretrained/reconstruction/models/losses.py:100); pass
+        # converted torchvision weights via make_features_fn(params=...)
+        # for a meaningful perceptual term.
+        feature_fns = make_features_fn(jax.random.key(seed + 2), dtype=dtype)
+    train_step = make_train_step(mse_weight, perceptual_weight, ssim_weight,
+                                 feature_fns=feature_fns)
     eval_step = make_reconstruction_eval_step()
 
     start_epoch, best = 0, None

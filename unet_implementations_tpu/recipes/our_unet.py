@@ -56,7 +56,18 @@ def build_model(dtype=jnp.bfloat16) -> UNet:
 
 
 def compute_static_weights(dataset: PetDataset, batch_size: int = 32) -> np.ndarray:
-    """Dataset-wide inverse-frequency weights (``Our_UNet/src/train.py:817-858``)."""
+    """Dataset-wide inverse-frequency weights (``Our_UNet/src/train.py:817-858``).
+
+    Multi-host: the per-process dataset stripe would give each host DIFFERENT
+    weights (a different loss than logged) — compute over the FULL file list.
+    """
+    if dataset.process_count > 1:
+        dataset = PetDataset(
+            dataset.images_dir, dataset.masks_dir,
+            include_augmented=dataset.aug_masks_dir is not None,
+            target_size=dataset.target_size, mode=dataset.mode,
+            normalize=dataset.normalize,
+        )
     counts = np.zeros(3, np.float64)
     total = 0.0
     for batch in batch_iterator(dataset, batch_size, shuffle=False):

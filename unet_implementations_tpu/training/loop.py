@@ -76,13 +76,25 @@ def train_loop(
 
     monitor_mode = "max" if task == "segmentation" else "min"
     if best_metric is None:
-        best_metric = 0.0 if monitor_mode == "max" else float("inf")
+        # -inf (not the reference's 0.0, Our_UNet/src/train.py): a run whose
+        # metric never beats 0.0 (e.g. collapsed foreground dice) must still
+        # write SOME best_model or the evaluate flow dead-ends.
+        best_metric = float("-inf") if monitor_mode == "max" else float("inf")
     early_stopping = EarlyStopping(patience=patience, mode=monitor_mode, verbose=verbose)
 
     log_file = output_dir / "training_log.csv"
     header = SEG_CSV_HEADER if task == "segmentation" else AE_CSV_HEADER
     if start_epoch == 0 or not log_file.exists():
         log_file.write_text(header + "\n")
+    else:
+        # Resume: drop rows past the resume point so re-run epochs don't
+        # appear twice with contradictory values.
+        lines = log_file.read_text().splitlines()
+        kept = [lines[0]] + [
+            ln for ln in lines[1:]
+            if ln.strip() and int(ln.split(",", 1)[0]) <= start_epoch
+        ]
+        log_file.write_text("\n".join(kept) + "\n")
 
     state = replicate(state, mesh)
     epochs_run = 0

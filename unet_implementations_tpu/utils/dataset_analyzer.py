@@ -60,7 +60,10 @@ def analyze_dataset(
     if max_files:
         images = images[:max_files]
     for p in images:
-        img = cv2.imread(str(p))
+        # IMREAD_UNCHANGED: the channel statistic exists to surface
+        # grayscale/RGBA anomalies — the default IMREAD_COLOR would
+        # convert everything to 3 channels and mask them.
+        img = cv2.imread(str(p), cv2.IMREAD_UNCHANGED)
         if img is None:
             stats.corrupt.append(p.name)
             continue
