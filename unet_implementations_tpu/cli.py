@@ -203,6 +203,15 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
+    if args.recipe in ("our_unet", "clip_unet", "ae_recon", "ae_transfer"):
+        # Multi-host DCN wiring must happen before the first backend use
+        # (no-op without coordinator info in the environment).
+        from unet_implementations_tpu.parallel.distributed import (
+            maybe_initialize_distributed,
+        )
+
+        maybe_initialize_distributed()
+
     if args.recipe == "pipeline":
         from unet_implementations_tpu.data.pipeline import run_pipeline
 

@@ -59,21 +59,26 @@ class PetDataset:
 
         self.image_files: List[Path] = sorted(self.images_dir.glob("*.jpg"))
         self.aug_masks_dir: Optional[Path] = None
-        aug_images = self.images_dir.parent / "augmented" / "images"
-        if include_augmented and aug_images.exists():
-            self.aug_masks_dir = self.images_dir.parent / "augmented" / "masks"
-            self.aug_files = set()
-            aug_list = sorted(aug_images.glob("*.jpg"))
-            self.aug_files = {p for p in aug_list}
-            self.image_files.extend(aug_list)
-        else:
+        if include_augmented:
+            aug_images = self.images_dir.parent / "augmented" / "images"
+            if aug_images.exists():
+                self.aug_masks_dir = self.images_dir.parent / "augmented" / "masks"
+                aug_list = sorted(aug_images.glob("*.jpg"))
+                self.aug_files = set(aug_list)
+                self.image_files.extend(aug_list)
+        if self.aug_masks_dir is None:
             self.aug_files = set()
 
-        # Multi-host input sharding: each host reads a disjoint stripe.
+        # Multi-host input sharding: EQUAL-size contiguous shards (remainder
+        # dropped). Striding (files[i::n]) would give hosts different file
+        # counts — the host with an extra batch then dispatches a collective
+        # the others never join (distributed deadlock).
         self.process_index = process_index
         self.process_count = process_count
         if process_count > 1:
-            self.image_files = self.image_files[process_index::process_count]
+            per_host = len(self.image_files) // process_count
+            start = process_index * per_host
+            self.image_files = self.image_files[start:start + per_host]
 
     def __len__(self) -> int:
         return len(self.image_files)
@@ -111,6 +116,10 @@ class PetDataset:
             mask = np.zeros((th, tw), np.uint8) if self.masks_dir else None
             original_dims = np.array(self.target_size, np.int32)
 
+        # Pre-resize decode, kept for the on-the-fly CLIP fallback below —
+        # the precomputed resized_clip/ images are ONE resize from the
+        # original; resizing the 512² copy again would drift pixel-wise.
+        decoded = image
         if image.shape[:2] != (th, tw):
             image = cv2.resize(image, (tw, th), interpolation=cv2.INTER_LINEAR)
 
@@ -138,7 +147,7 @@ class PetDataset:
             clip_img = cv2.imread(str(clip_path)) if clip_path.exists() else None
             if clip_img is None:
                 clip_img = cv2.resize(
-                    image, (self.clip_size, self.clip_size),
+                    decoded, (self.clip_size, self.clip_size),
                     interpolation=cv2.INTER_LINEAR,
                 )
             else:
@@ -158,6 +167,8 @@ def batch_iterator(
     prefetch: int = 2,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Yield stacked numpy batches with threaded decode + prefetch."""
+    num_threads = max(1, num_threads)
+    prefetch = max(1, prefetch)
     indices = np.arange(len(dataset))
     if shuffle:
         np.random.default_rng(seed).shuffle(indices)

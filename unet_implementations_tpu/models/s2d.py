@@ -230,29 +230,15 @@ def upsample2x_into_s2d(x: jax.Array) -> jax.Array:
     """Exact 2x bilinear upsample emitted directly in s2d layout.
 
     Input (B, H, W, C) dense → output (B, H, W, 4C) = s2d(upsample2x(x)).
-    Each sub-pixel is a fixed 2-tap lerp of edge-padded shifts (same math as
-    ``ops.resize.upsample2x_nhwc``). In q-major layout the combine is a
-    plain channel concatenate — no interleave materialization.
+    Each sub-pixel is the 2-tap lerp shared with the dense fast path
+    (``ops.resize.lerp2_taps`` — one definition, f32 accumulation). In
+    q-major layout the combine is a plain channel concatenate — no
+    interleave materialization.
     """
-    def taps(arr, axis):
-        pad = [(0, 0)] * arr.ndim
-        pad[axis] = (1, 1)
-        p = jnp.pad(arr, pad, mode="edge")
-        n = arr.shape[axis]
+    from unet_implementations_tpu.ops.resize import lerp2_taps
 
-        def sl(s):
-            idx = [slice(None)] * arr.ndim
-            idx[axis] = slice(s, s + n)
-            return p[tuple(idx)]
-
-        c25 = jnp.asarray(0.25, arr.dtype)
-        c75 = jnp.asarray(0.75, arr.dtype)
-        r0 = c25 * sl(0) + c75 * sl(1)   # sub-pixel 0
-        r1 = c75 * sl(1) + c25 * sl(2)   # sub-pixel 1
-        return r0, r1
-
-    row0, row1 = taps(x, 1)
-    c00, c01 = taps(row0, 2)
-    c10, c11 = taps(row1, 2)
+    row0, row1 = lerp2_taps(x, 1)
+    c00, c01 = lerp2_taps(row0, 2)
+    c10, c11 = lerp2_taps(row1, 2)
     # q-major: channel blocks in q order (0,0), (0,1), (1,0), (1,1)
     return jnp.concatenate([c00, c01, c10, c11], axis=-1)

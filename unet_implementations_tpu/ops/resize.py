@@ -97,14 +97,16 @@ def resize_bilinear(
     return x.astype(orig_dtype)
 
 
-def _upsample2x_axis(x: jax.Array, axis: int) -> jax.Array:
-    """Exact 2x bilinear upsample along one axis, torch half-pixel semantics.
+def lerp2_taps(x: jax.Array, axis: int) -> tuple:
+    """The two sub-pixel lerps of an exact 2x bilinear upsample along one
+    axis, torch half-pixel semantics: even = 0.25*x[i-1] + 0.75*x[i]
+    (edge-clamped), odd = 0.75*x[i] + 0.25*x[i+1].
 
-    For scale 2 the source coords are i-0.25 / i+0.25, so every output is a
-    fixed 2-tap lerp: out[2i] = 0.25*x[i-1] + 0.75*x[i] (edge-clamped),
-    out[2i+1] = 0.75*x[i] + 0.25*x[i+1]. Expressed as edge-pad + elementwise
-    + interleave, which XLA fuses — the gather formulation costs ~10x more
-    HBM traffic on TPU (measured: 251ms → 137ms full-model forward).
+    f32 accumulation regardless of input dtype (bf16 lerps would make the
+    "exact same values" fast-path claims false vs. the f32 general path and
+    the torch reference), cast back to the input dtype. Shared by the dense
+    interleaving upsample below and the s2d q-major concat upsample
+    (``models/s2d.py::upsample2x_into_s2d``) — ONE definition of the kernel.
     """
     pad = [(0, 0)] * x.ndim
     pad[axis] = (1, 1)
@@ -114,16 +116,25 @@ def _upsample2x_axis(x: jax.Array, axis: int) -> jax.Array:
     def sl(start, size):
         idx = [slice(None)] * x.ndim
         idx[axis] = slice(start, start + size)
-        return xp[tuple(idx)]
+        return xp[tuple(idx)].astype(jnp.float32)
 
     left, mid, right = sl(0, n), sl(1, n), sl(2, n)
-    c25 = jnp.asarray(0.25, x.dtype)
-    c75 = jnp.asarray(0.75, x.dtype)
-    even = c25 * left + c75 * mid
-    odd = c75 * mid + c25 * right
+    even = (0.25 * left + 0.75 * mid).astype(x.dtype)
+    odd = (0.75 * mid + 0.25 * right).astype(x.dtype)
+    return even, odd
+
+
+def _upsample2x_axis(x: jax.Array, axis: int) -> jax.Array:
+    """Exact 2x bilinear upsample along one axis, torch half-pixel semantics.
+
+    Expressed as edge-pad + elementwise + interleave, which XLA fuses — the
+    gather formulation costs ~10x more HBM traffic on TPU (measured:
+    251ms → 137ms full-model forward).
+    """
+    even, odd = lerp2_taps(x, axis)
     stacked = jnp.stack([even, odd], axis=axis + 1)
     new_shape = list(x.shape)
-    new_shape[axis] = 2 * n
+    new_shape[axis] = 2 * x.shape[axis]
     return stacked.reshape(new_shape)
 
 

@@ -55,6 +55,31 @@ def shard_batch(batch: Any, mesh: Optional[Mesh]) -> Any:
     sharded = batch_sharding(mesh)
     replicated = replicated_sharding(mesh)
 
+    if jax.process_count() > 1:
+        # Each host holds only ITS stripe of the batch: assemble the global
+        # array from per-process shards (a plain device_put with the global
+        # sharding would treat the local rows as the whole global batch,
+        # dropping most of the loaded data). The per-host rows must divide
+        # the per-host device count — truncate the tail batch to the nearest
+        # multiple (equal across hosts since the loader shards files into
+        # equal stripes), padding up from the first sample if a tail is
+        # smaller than one per-device row. Affects only the final partial
+        # validation batch of multi-host runs (train uses drop_last).
+        local_dev = max(1, n // jax.process_count())
+
+        def put_global(x):
+            x = np.asarray(x)
+            if x.ndim >= 1 and x.shape[0] % local_dev != 0:
+                keep = (x.shape[0] // local_dev) * local_dev
+                if keep == 0:
+                    reps = local_dev - x.shape[0]
+                    x = np.concatenate([x, np.repeat(x[:1], reps, axis=0)])
+                else:
+                    x = x[:keep]
+            return jax.make_array_from_process_local_data(sharded, x)
+
+        return jax.tree.map(put_global, batch)
+
     def put(x):
         divisible = getattr(x, "ndim", 0) >= 1 and x.shape[0] % n == 0
         return jax.device_put(x, sharded if divisible else replicated)
