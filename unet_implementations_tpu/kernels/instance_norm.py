@@ -79,7 +79,7 @@ def _normalize_kernel(x_ref, mean_ref, rstd_ref, scale_ref, bias_ref, out_ref,
 
 def _pallas_forward(x, scale_c, bias_c, eps, negative_slope, group):
     b, h, w, c = x.shape
-    hb = _row_chunks(h, w, c)
+    hb = _row_chunks(h, w, c, itemsize=x.dtype.itemsize)
     grid = (b, h // hb)
 
     sums = pl.pallas_call(
