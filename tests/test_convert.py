@@ -111,6 +111,45 @@ class TestConversion:
         for a, b in zip(jax.tree.leaves(dict(init_params)), jax.tree.leaves(params)):
             assert a.shape == b.shape
 
+    def test_convert_cli_roundtrip(self, tmp_path):
+        """`convert` writes an Orbax checkpoint that evaluate/predict load."""
+        from unet_implementations_tpu.models.convert import (
+            convert_torch_checkpoint,
+        )
+        from unet_implementations_tpu.models.unet import (
+            DEFAULT_DEC_DROPOUT,
+            DEFAULT_ENC_DROPOUT,
+            DEFAULT_FEATURES,
+            unet_6stage,
+        )
+        from unet_implementations_tpu.training.checkpoint import restore_params
+
+        g = torch.Generator().manual_seed(4)
+        sd = _fabricate_state_dict(
+            g, features=DEFAULT_FEATURES, enc_rates=DEFAULT_ENC_DROPOUT,
+            dec_rates=DEFAULT_DEC_DROPOUT,
+        )
+        torch.save({"model_state_dict": sd, "epoch": 7, "best_dice": 0.71},
+                   tmp_path / "ref.pth")
+
+        out = tmp_path / "converted"
+        convert_torch_checkpoint(tmp_path / "ref.pth", out)
+        import json
+
+        meta = json.loads((out / "meta.json").read_text())
+        assert meta["epoch"] == 7
+        assert meta["best_metric"] == 0.71
+        assert meta["config"]["arch"] == "our_unet"
+
+        model = unet_6stage()
+        abstract = model.init(jax.random.key(0),
+                              jnp.zeros((1, 64, 64, 3)))["params"]
+        params = restore_params(out, abstract)
+        expected = np.transpose(
+            sd["segmentation_output.weight"].numpy(), (2, 3, 1, 0))
+        np.testing.assert_allclose(np.asarray(params["head"]["kernel"]),
+                                   expected, rtol=1e-6)
+
     def test_reconstruction_head(self):
         g = torch.Generator().manual_seed(3)
         sd = _fabricate_state_dict(g, head="reconstruction")

@@ -188,6 +188,16 @@ def build_parser() -> argparse.ArgumentParser:
     dl.add_argument("--raw_dir", required=True)
     dl.add_argument("--archive", default=None)
 
+    conv = sub.add_parser(
+        "convert", help="convert a reference .pth checkpoint to this "
+                        "framework's Orbax format")
+    conv.add_argument("--torch_checkpoint", required=True)
+    conv.add_argument("--output", required=True,
+                      help="Orbax checkpoint directory to create")
+    conv.add_argument("--arch", default="our_unet",
+                      choices=["our_unet", "clip_unet", "ae_recon",
+                               "ae_transfer"])
+
     pred = sub.add_parser(
         "predict", help="run a trained UNet on an image file or directory")
     pred.add_argument("--model_path", required=True)
@@ -250,6 +260,15 @@ def main(argv=None):
         from unet_implementations_tpu.data.download import download_and_extract
 
         download_and_extract(args.raw_dir, args.archive)
+        return
+
+    if args.recipe == "convert":
+        from unet_implementations_tpu.models.convert import (
+            convert_torch_checkpoint,
+        )
+
+        convert_torch_checkpoint(args.torch_checkpoint, args.output, args.arch)
+        print(f"converted {args.torch_checkpoint} -> {args.output}")
         return
 
     if args.recipe == "predict":

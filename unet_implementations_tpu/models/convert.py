@@ -115,3 +115,56 @@ def load_torch_checkpoint(path, model: UNet) -> Dict:
     ckpt = torch.load(str(path), map_location="cpu", weights_only=False)
     sd = ckpt.get("model_state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
     return torch_unet_state_dict_to_params(sd, model)
+
+
+def convert_torch_checkpoint(
+    torch_path,
+    output_path,
+    arch: str = "our_unet",
+) -> None:
+    """``.pth`` → Orbax checkpoint directory loadable by the evaluate CLIs.
+
+    ``arch``: our_unet | ae_transfer (the same 6-stage model) | ae_recon
+    (sigmoid head) | clip_unet (bottleneck fusion, clip_dim 512 — the only
+    variant the reference trained). Preserves the torch checkpoint's epoch
+    and best metric in the Orbax meta when present.
+    """
+    import jax.numpy as jnp
+    import torch
+
+    from unet_implementations_tpu.models.unet import (
+        autoencoder_6stage,
+        unet_6stage,
+    )
+    from unet_implementations_tpu.training import create_train_state, sgd_nesterov
+    from unet_implementations_tpu.training.checkpoint import save_checkpoint
+
+    if arch in ("our_unet", "ae_transfer"):
+        model = unet_6stage()
+    elif arch == "ae_recon":
+        model = autoencoder_6stage()
+    elif arch == "clip_unet":
+        model = UNet(clip_fusion=True)
+    else:
+        raise ValueError(f"unknown arch {arch!r}")
+
+    ckpt = torch.load(str(torch_path), map_location="cpu", weights_only=False)
+    sd = ckpt.get("model_state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
+    params = torch_unet_state_dict_to_params(sd, model)
+
+    kwargs = (
+        {"clip_features": jnp.zeros((1, model.clip_dim))}
+        if model.clip_fusion else {}
+    )
+    state = create_train_state(
+        model, jax.random.key(0), jnp.zeros((1, 64, 64, 3)),
+        sgd_nesterov(), **kwargs,
+    )
+    state = state.replace(params=params)
+    meta = ckpt if isinstance(ckpt, dict) else {}
+    save_checkpoint(
+        output_path, state,
+        epoch=int(meta.get("epoch", 0)),
+        best_metric=float(meta.get("best_dice", meta.get("best_loss", 0.0))),
+        config={"converted_from": str(torch_path), "arch": arch},
+    )
