@@ -176,6 +176,76 @@ class TestSegmentationLoop:
         assert [r["epoch"] for r in rows] == ["3", "4"]
 
 
+    def test_resume_reproduces_stop_epoch(self, tmp_path):
+        """The early-stopping counter is persisted in meta.json, so a resumed
+        run stops at the SAME epoch as an uninterrupted one (the reference
+        resets the patience counter on resume — beaten, not matched)."""
+        from unet_implementations_tpu.training.checkpoint import restore_checkpoint
+
+        model = tiny()
+        b = synthetic_batch(0, 2, 32)
+        state = create_train_state(model, jax.random.key(0),
+                                   jnp.asarray(b["image"]), sgd_nesterov())
+        real = make_segmentation_eval_step()
+
+        def flat_eval(state, batch):
+            out = dict(real(state, batch))
+            out["dice"] = jnp.asarray([0.5, 0.5, 0.5])  # never improves
+            return out
+
+        common = dict(
+            train_step=make_segmentation_train_step(donate=False),
+            eval_step=flat_eval, lr_schedule=poly_lr(5e-3, 10), epochs=10,
+            save_every=1, patience=3, verbose=False,
+        )
+        tb, vb = batches()
+        full = train_loop(state, train_batches=tb, val_batches=vb,
+                          output_dir=tmp_path / "full", **common)
+        # epoch 1 sets best; epochs 2-4 count 1..3 -> stop at 4
+        assert full["epochs_run"] == 4
+
+        tb, vb = batches()
+        train_loop(state, train_batches=tb, val_batches=vb,
+                   output_dir=tmp_path / "resumed", **common)
+        ckpt = tmp_path / "resumed" / "checkpoints" / "epoch_2"
+        restored, meta = restore_checkpoint(ckpt, state)
+        assert meta["early_stopping"]["counter"] == 1
+        tb, vb = batches()
+        resumed = train_loop(
+            restored, train_batches=tb, val_batches=vb,
+            output_dir=tmp_path / "resumed",
+            start_epoch=meta["epoch"], best_metric=meta["best_metric"],
+            early_stopping_state=meta["early_stopping"], **common,
+        )
+        assert resumed["epochs_run"] == full["epochs_run"]
+
+    def test_resume_drops_malformed_csv_rows(self, tmp_path):
+        """A partially-written CSV row (crash mid-write) must not abort the
+        resume; the row is dropped."""
+        model = tiny()
+        b = synthetic_batch(0, 2, 32)
+        state = create_train_state(model, jax.random.key(0),
+                                   jnp.asarray(b["image"]), sgd_nesterov())
+        from unet_implementations_tpu.training.loop import SEG_CSV_HEADER
+
+        stale = [SEG_CSV_HEADER, "1,1.0,1.0,0.1,0.1,0.1,0.1,0.005,1.0",
+                 "garbage,row", SEG_CSV_HEADER, "2,1.0,1.0,0.1,0.1,0.1,0.1,0.005,"]
+        (tmp_path / "training_log.csv").write_text("\n".join(stale) + "\n")
+        tb, vb = batches()
+        train_loop(
+            state,
+            train_step=make_segmentation_train_step(donate=False),
+            eval_step=make_segmentation_eval_step(),
+            train_batches=tb, val_batches=vb,
+            lr_schedule=poly_lr(5e-3, 3), epochs=3,
+            output_dir=tmp_path, verbose=False,
+            start_epoch=2, best_metric=0.1,
+        )
+        with open(tmp_path / "training_log.csv") as f:
+            rows = list(csv.DictReader(f))
+        assert [r["epoch"] for r in rows] == ["1", "2", "3"]
+
+
 class TestReconstructionLoop:
     def test_ae_schema_and_checkpoint_callback(self, tmp_path):
         model = tiny("reconstruction")

@@ -41,6 +41,7 @@ def save_checkpoint(
     epoch: int,
     best_metric: float,
     config: Optional[Dict] = None,
+    early_stopping: Optional[Dict] = None,
 ) -> None:
     path = Path(path).absolute()
     path.parent.mkdir(parents=True, exist_ok=True)
@@ -48,6 +49,8 @@ def save_checkpoint(
     ckptr.save(path, _to_saveable(state), force=True)
     ckptr.wait_until_finished()
     meta = {"epoch": int(epoch), "best_metric": float(best_metric), "config": config or {}}
+    if early_stopping is not None:
+        meta["early_stopping"] = early_stopping
     (path / META_FILE).write_text(json.dumps(meta, indent=4))
 
 

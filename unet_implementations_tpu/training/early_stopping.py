@@ -29,6 +29,20 @@ class EarlyStopping:
         self.best_score = None
         self.early_stop = False
 
+    def state_dict(self) -> dict:
+        """Serializable state so ``--resume`` reproduces the exact stopping
+        epoch of an uninterrupted run (the reference resets the patience
+        counter on resume — ``Our_UNet/src/train.py:905`` constructs a fresh
+        EarlyStopping; beaten here, not matched)."""
+        return {"counter": self.counter, "best_score": self.best_score}
+
+    def load_state_dict(self, state: dict | None) -> "EarlyStopping":
+        if state:
+            self.counter = int(state.get("counter", 0))
+            best = state.get("best_score")
+            self.best_score = None if best is None else float(best)
+        return self
+
     def __call__(self, val_score: float) -> bool:
         score = -val_score if self.mode == "min" else val_score
         if self.best_score is None:

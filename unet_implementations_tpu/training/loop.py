@@ -62,6 +62,7 @@ def train_loop(
     arch_config: Optional[Dict] = None,
     profile_dir: Optional[str | Path] = None,
     checkpoint_callback: Optional[Callable[[TrainState, int], None]] = None,
+    early_stopping_state: Optional[Dict] = None,
     verbose: bool = True,
 ) -> Dict[str, Any]:
     """Run the full training loop; returns {'state', 'best_metric', 'epochs_run'}.
@@ -80,7 +81,9 @@ def train_loop(
         # metric never beats 0.0 (e.g. collapsed foreground dice) must still
         # write SOME best_model or the evaluate flow dead-ends.
         best_metric = float("-inf") if monitor_mode == "max" else float("inf")
-    early_stopping = EarlyStopping(patience=patience, mode=monitor_mode, verbose=verbose)
+    early_stopping = EarlyStopping(
+        patience=patience, mode=monitor_mode, verbose=verbose
+    ).load_state_dict(early_stopping_state)
 
     log_file = output_dir / "training_log.csv"
     header = SEG_CSV_HEADER if task == "segmentation" else AE_CSV_HEADER
@@ -90,10 +93,16 @@ def train_loop(
         # Resume: drop rows past the resume point so re-run epochs don't
         # appear twice with contradictory values.
         lines = log_file.read_text().splitlines()
-        kept = [lines[0]] + [
-            ln for ln in lines[1:]
-            if ln.strip() and int(ln.split(",", 1)[0]) <= start_epoch
-        ]
+
+        def _keep(ln: str) -> bool:
+            # Malformed rows (crash mid-write, duplicated header) are dropped
+            # instead of aborting the resume.
+            try:
+                return int(ln.split(",", 1)[0]) <= start_epoch
+            except ValueError:
+                return False
+
+        kept = [header] + [ln for ln in lines[1:] if ln.strip() and _keep(ln)]
         log_file.write_text("\n".join(kept) + "\n")
 
     state = replicate(state, mesh)
@@ -184,21 +193,27 @@ def train_loop(
         if is_best:
             best_metric = metric
 
+        # Update the patience counter BEFORE checkpointing so the persisted
+        # state reflects this epoch — a resume then reproduces the exact
+        # stopping epoch of an uninterrupted run.
+        stop = early_stopping(metric)
+
         if (epoch + 1) % save_every == 0 or is_best:
             save_checkpoint(
                 output_dir / "checkpoints" / f"epoch_{epoch + 1}",
                 state, epoch + 1, best_metric, arch_config,
+                early_stopping=early_stopping.state_dict(),
             )
             if is_best:
                 save_checkpoint(
                     output_dir / "best_model", state, epoch + 1, best_metric,
-                    arch_config,
+                    arch_config, early_stopping=early_stopping.state_dict(),
                 )
             if checkpoint_callback is not None:
                 checkpoint_callback(state, epoch + 1)
 
         epochs_run = epoch + 1
-        if early_stopping(metric):
+        if stop:
             if verbose:
                 print(f"Early stopping triggered after {epoch + 1} epochs")
             break
@@ -219,32 +234,32 @@ def validate(
     (``Our_UNet/src/train.py:510-589``); reconstruction: mean loss/MSE/PSNR
     (``reconstruction/src/train.py`` validate).
     """
-    loss_sum, n = 0.0, 0
+    # Async dispatch, like the train loop: per-batch ``float(...)`` fetches
+    # would serialize dispatch against compute (each fetch drains the device
+    # queue). Outputs stay on device; a rolling bounded wait caps in-flight
+    # batches; ONE bulk device_get at the end.
+    run_ahead = 4
+    outs = []
+    for batch in batches:
+        batch = shard_batch(batch, mesh)
+        outs.append(eval_step(state, batch))
+        if len(outs) > run_ahead:
+            jax.block_until_ready(outs[len(outs) - run_ahead - 1]["loss"])
+    outs = jax.device_get(outs)
+    loss = float(np.mean([o["loss"] for o in outs])) if outs else 0.0
     if task == "segmentation":
-        dice_sum = np.zeros(3)
-        for batch in batches:
-            batch = shard_batch(batch, mesh)
-            out = eval_step(state, batch)
-            loss_sum += float(out["loss"])
-            dice_sum += np.asarray(out["dice"])
-            n += 1
-        n = max(n, 1)
-        dice = dice_sum / n
+        dice = (
+            np.mean([np.asarray(o["dice"]) for o in outs], axis=0)
+            if outs else np.zeros(3)
+        )
         return {
-            "loss": loss_sum / n,
+            "loss": loss,
             "dice_background": float(dice[0]),
             "dice_cat": float(dice[1]),
             "dice_dog": float(dice[2]),
             "dice_mean_foreground": float((dice[1] + dice[2]) / 2),
         }
     else:
-        mse_sum, psnr_sum = 0.0, 0.0
-        for batch in batches:
-            batch = shard_batch(batch, mesh)
-            out = eval_step(state, batch)
-            loss_sum += float(out["loss"])
-            mse_sum += float(np.mean(np.asarray(out["mse"])))
-            psnr_sum += float(np.mean(np.asarray(out["psnr"])))
-            n += 1
-        n = max(n, 1)
-        return {"loss": loss_sum / n, "mse": mse_sum / n, "psnr": psnr_sum / n}
+        mse = float(np.mean([np.mean(np.asarray(o["mse"])) for o in outs])) if outs else 0.0
+        psnr = float(np.mean([np.mean(np.asarray(o["psnr"])) for o in outs])) if outs else 0.0
+        return {"loss": loss, "mse": mse, "psnr": psnr}
