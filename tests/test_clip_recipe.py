@@ -68,6 +68,40 @@ class TestEmbeddingCache:
         np.testing.assert_allclose(table[2], expected, rtol=1e-5, atol=1e-6)
 
 
+class TestEmbeddingDump:
+    def test_dump_and_reload_row_alignment(self, tmp_path, monkeypatch):
+        """The embed CLI's tables reload row-aligned by filename, and a
+        model-name mismatch falls back to live extraction."""
+        import unet_implementations_tpu.recipes.clip_unet as cu
+
+        _make_ds(tmp_path / "Train")
+        _make_ds(tmp_path / "Val", n=3)
+        monkeypatch.setattr(cu, "ClipFeatureExtractor",
+                            lambda *a, **k: FakeExtractor())
+        written = cu.dump_embeddings(
+            tmp_path, tmp_path / "emb", clip_model="ViT-B/16",
+            splits=("Train", "Val"), verbose=False)
+        assert set(written) == {"Train", "Val"}
+
+        # Same clip_size as the dump's internal dataset (default 224) so the
+        # recomputed expectation sees identical pixels.
+        ds = PetDataset(tmp_path / "Train" / "resized",
+                        tmp_path / "Train" / "resized_label",
+                        include_augmented=False, target_size=(64, 64),
+                        clip_dir=tmp_path / "Train" / "resized_clip")
+        table = cu._load_embedding_table(
+            tmp_path / "emb", "Train", ds, "ViT-B/16", verbose=False)
+        # dump_embeddings used clip_dir=resized_clip (absent) -> loader
+        # fallback resize path; recompute directly and compare rows.
+        expected = cu._embedding_table(FakeExtractor(), ds, batch_size=2)
+        np.testing.assert_allclose(table, expected, rtol=1e-5, atol=1e-6)
+
+        assert cu._load_embedding_table(
+            tmp_path / "emb", "Train", ds, "ViT-L/14", verbose=False) is None
+        assert cu._load_embedding_table(
+            tmp_path / "emb", "Test", ds, "ViT-B/16", verbose=False) is None
+
+
 class TestClipDim:
     def test_vit_l14_dim_threads_through_model(self):
         # ViT-L/14 embeds at 768, not 512 — the fusion conv must be sized

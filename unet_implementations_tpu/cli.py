@@ -128,13 +128,28 @@ def build_parser() -> argparse.ArgumentParser:
     # disabled from the CLI (CLIP_UNet/src/train.py:131-137) — accepted as a
     # no-op for drop-in compatibility.
     t.add_argument("--use_clip", action="store_true", help=argparse.SUPPRESS)
+    t.add_argument("--embeddings_dir", default=None,
+                   help="dir of tables written by `clip_unet embed` (skips "
+                        "live extraction)")
     e = clip.add_parser("evaluate")
     _add_eval_flags(e)
     e.add_argument("--clip_model", default="ViT-B/16",
                    choices=["ViT-B/16", "ViT-B/32", "ViT-L/14"])
     e.add_argument("--clip_weights", default=None)
+    e.add_argument("--embeddings_dir", default=None)
     e.add_argument("--no_clip_features", action="store_true",
                    help="reproduce the reference evaluator quirk (no conditioning)")
+    em = clip.add_parser(
+        "embed", help="precompute per-split CLIP embedding tables to disk")
+    em.add_argument("--data_dir", required=True)
+    em.add_argument("--output_dir", default=None,
+                    help="default: <data_dir>/clip_embeddings")
+    em.add_argument("--clip_model", default="ViT-B/16",
+                    choices=["ViT-B/16", "ViT-B/32", "ViT-L/14"])
+    em.add_argument("--clip_weights", default=None)
+    em.add_argument("--batch_size", type=int, default=64)
+    em.add_argument("--no_augmented", action="store_true",
+                    help="skip Train/augmented images")
 
     # --- ae_recon ---------------------------------------------------------
     ae = sub.add_parser("ae_recon").add_subparsers(dest="cmd", required=True)
@@ -310,12 +325,19 @@ def main(argv=None):
         if args.cmd == "train":
             r.train(args.data_dir, args.output_dir,
                     clip_model=args.clip_model, clip_weights=args.clip_weights,
+                    embeddings_dir=args.embeddings_dir,
                     online_augment=args.online_augment,
                     **_seg_train_kwargs(args))
+        elif args.cmd == "embed":
+            r.dump_embeddings(
+                args.data_dir, args.output_dir, clip_model=args.clip_model,
+                clip_weights=args.clip_weights, batch_size=args.batch_size,
+                include_augmented=not args.no_augmented)
         else:
             r.evaluate(args.model_path, args.data_dir, args.output_dir,
                        batch_size=args.batch_size, dtype=_dtype(args),
                        clip_model=args.clip_model, clip_weights=args.clip_weights,
+                       embeddings_dir=args.embeddings_dir,
                        use_clip_features=not args.no_clip_features,
                        visualize_samples=args.visualize_samples,
                        num_threads=_num_threads(args))

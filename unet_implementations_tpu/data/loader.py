@@ -76,9 +76,17 @@ class PetDataset:
         self.process_index = process_index
         self.process_count = process_count
         if process_count > 1:
-            per_host = len(self.image_files) // process_count
+            files = list(self.image_files)
+            if files and len(files) % process_count:
+                # Pad to a multiple of process_count by wrapping from the
+                # start: per-host counts stay equal (no collective deadlock)
+                # and no file is dropped from every epoch (a trailing
+                # remainder would otherwise never be seen by any host).
+                pad = process_count - len(files) % process_count
+                files = files + files[:pad]
+            per_host = len(files) // process_count
             start = process_index * per_host
-            self.image_files = self.image_files[start:start + per_host]
+            self.image_files = files[start:start + per_host]
 
     def __len__(self) -> int:
         return len(self.image_files)
@@ -152,6 +160,14 @@ class PetDataset:
                 )
             else:
                 clip_img = cv2.cvtColor(clip_img, cv2.COLOR_BGR2RGB)
+            if clip_img.shape[:2] != (self.clip_size, self.clip_size):
+                # A clip_dir holding non-224 images (e.g. pointed at a
+                # resized/ tree) still yields the SAME cv2 pixel path as the
+                # fallback — one resize, before normalization.
+                clip_img = cv2.resize(
+                    clip_img, (self.clip_size, self.clip_size),
+                    interpolation=cv2.INTER_LINEAR,
+                )
             clip_f = clip_img.astype(np.float32) / 255.0
             item["clip_image"] = (clip_f - IMAGENET_MEAN) / IMAGENET_STD
         return item

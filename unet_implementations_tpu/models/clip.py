@@ -177,17 +177,31 @@ class ClipFeatureExtractor:
 
 
 def load_torch_clip_weights(path: str | Path, abstract_params: Dict) -> Dict:
-    """Convert an OpenAI CLIP torch state_dict (visual tower) to our tree.
+    """Convert a CLIP torch state_dict (visual tower) to our tree.
 
-    Accepts either a full CLIP checkpoint (keys ``visual.*``) or a
-    visual-only state dict. Requires torch to deserialize.
+    Accepts any of the common on-disk formats — all share the OpenAI ViT
+    attribute naming for the visual tower:
+    - an OpenAI CLIP state dict (keys ``visual.*``) or visual-only dump;
+    - an open_clip checkpoint: ``{"state_dict": {...}}`` wrapper and/or
+      DDP ``module.`` prefixes (open_clip's VisionTransformer keeps the
+      OpenAI resblock naming for ViT-B/16, B/32, L/14);
+    - a TorchScript archive (OpenAI's published ``ViT-B-16.pt`` download).
+    Requires torch to deserialize.
     """
     import torch
 
-    sd = torch.load(str(path), map_location="cpu")
+    try:
+        sd = torch.load(str(path), map_location="cpu", weights_only=False)
+    except Exception:
+        sd = torch.jit.load(str(path), map_location="cpu")
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
-    sd = {k: v for k, v in sd.items()}
+    if isinstance(sd, dict) and "state_dict" in sd and isinstance(sd["state_dict"], dict):
+        sd = sd["state_dict"]  # open_clip wrapper
+    sd = {
+        (k[len("module."):] if k.startswith("module.") else k): v
+        for k, v in sd.items()
+    }
     prefix = "visual." if any(k.startswith("visual.") for k in sd) else ""
 
     def get(name):

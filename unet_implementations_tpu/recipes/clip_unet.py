@@ -73,11 +73,12 @@ def make_datasets(data_dir: str | Path, include_augmented: bool = True,
         include_augmented=include_augmented,
         normalize=normalize_train,
         # Online-augment mode derives the 224² view on device from the
-        # augmented pixels — no host clip image needed.
-        clip_dir=None if not normalize_train else (
-            data_dir / "Train" / "resized_clip"
-            if (data_dir / "Train" / "resized_clip").exists()
-            else data_dir / "Train" / "resized"),
+        # augmented pixels — no host clip image needed. When resized_clip/
+        # is absent the LOADER falls back per file to one cv2 resize of its
+        # own decode — never aliased to the 512² copies, which would route
+        # through a second (post-normalization, jax-bilinear) resize in the
+        # extractor: two code paths, two different pixel results.
+        clip_dir=None if not normalize_train else data_dir / "Train" / "resized_clip",
         process_index=jax.process_index(),
         process_count=jax.process_count(),
     )
@@ -85,8 +86,7 @@ def make_datasets(data_dir: str | Path, include_augmented: bool = True,
         data_dir / "Val" / "resized",
         data_dir / "Val" / "processed_labels",
         include_augmented=False,
-        clip_dir=data_dir / "Val" / "resized_clip"
-        if (data_dir / "Val" / "resized_clip").exists() else data_dir / "Val" / "resized",
+        clip_dir=data_dir / "Val" / "resized_clip",
     )
     return train, val
 
@@ -98,6 +98,90 @@ def _embedding_table(extractor, dataset, batch_size=64) -> np.ndarray:
         f = np.asarray(extractor(jnp.asarray(batch["clip_image"])))
         feats[batch["index"]] = f
     return feats
+
+
+def _table_file(embeddings_dir, split: str) -> Path:
+    return Path(embeddings_dir) / f"clip_embeddings_{split.lower()}.npz"
+
+
+def dump_embeddings(
+    data_dir: str | Path,
+    output_dir: Optional[str | Path] = None,
+    *,
+    clip_model: str = "ViT-B/16",
+    clip_weights: Optional[str] = None,
+    batch_size: int = 64,
+    splits: Tuple[str, ...] = ("Train", "Val", "Test"),
+    include_augmented: bool = True,
+    dtype=jnp.bfloat16,
+    verbose: bool = True,
+) -> Dict[str, str]:
+    """Write per-split CLIP embedding tables to ``.npz`` files on disk.
+
+    The frozen encoder's output never changes, so computing it once and
+    reusing the table across train/eval runs amortizes the ViT forward
+    entirely (reference re-extracts per batch per epoch,
+    ``CLIP_UNet/src/train.py:714-719``). Each file stores ``embeddings``
+    (N, dim), ``files`` (the image filenames, row-aligned) and ``model``.
+    """
+    data_dir = Path(data_dir)
+    out = Path(output_dir) if output_dir is not None else data_dir / "clip_embeddings"
+    out.mkdir(parents=True, exist_ok=True)
+    extractor = ClipFeatureExtractor(clip_model, clip_weights, dtype=dtype)
+    written = {}
+    for split in splits:
+        images = data_dir / split / "resized"
+        if not images.exists():
+            if verbose:
+                print(f"embed: skipping {split} (no {images})")
+            continue
+        ds = PetDataset(
+            images, None,
+            include_augmented=include_augmented and split == "Train",
+            clip_dir=data_dir / split / "resized_clip",
+        )
+        table = _embedding_table(extractor, ds, batch_size)
+        path = _table_file(out, split)
+        np.savez(
+            path,
+            embeddings=table,
+            files=np.asarray([f.name for f in ds.image_files]),
+            model=np.asarray(clip_model),
+        )
+        written[split] = str(path)
+        if verbose:
+            print(f"embed: {split}: {table.shape} -> {path}")
+    return written
+
+
+def _load_embedding_table(
+    embeddings_dir, split: str, dataset, clip_model: str, verbose: bool = True
+) -> Optional[np.ndarray]:
+    """Load a dumped table and re-align rows to ``dataset``'s file order.
+
+    Returns None (caller computes live) when the file is absent, was built
+    with a different encoder, or is missing files the dataset contains.
+    """
+    path = _table_file(embeddings_dir, split)
+    if not path.exists():
+        if verbose:
+            print(f"embed cache: {path} not found; extracting live")
+        return None
+    data = np.load(path, allow_pickle=False)
+    if str(data["model"]) != clip_model:
+        if verbose:
+            print(f"embed cache: {path} was built with {data['model']}, "
+                  f"not {clip_model}; extracting live")
+        return None
+    rows = {name: i for i, name in enumerate(data["files"])}
+    idx = []
+    for f in dataset.image_files:
+        if f.name not in rows:
+            if verbose:
+                print(f"embed cache: {f.name} missing from {path}; extracting live")
+            return None
+        idx.append(rows[f.name])
+    return np.ascontiguousarray(data["embeddings"][np.asarray(idx)])
 
 
 def _attach_features(batches, extractor, table):
@@ -120,6 +204,7 @@ def train(
     clip_model: str = "ViT-B/16",
     clip_weights: Optional[str] = None,
     embedding_cache: bool = True,
+    embeddings_dir: Optional[str | Path] = None,
     batch_size: int = 16,
     epochs: int = 100,
     lr: float = 5e-3,
@@ -172,12 +257,20 @@ def train(
               "an OpenAI checkpoint).")
 
     train_table = val_table = None
-    if embedding_cache:
-        if verbose:
-            print("Precomputing CLIP embeddings (frozen encoder, computed once)...")
+    if embeddings_dir is not None:
+        # Reuse tables dumped by the ``embed`` CLI (cross-run cache).
         if not online_augment:
+            train_table = _load_embedding_table(
+                embeddings_dir, "Train", train_ds, clip_model, verbose)
+        val_table = _load_embedding_table(
+            embeddings_dir, "Val", val_ds, clip_model, verbose)
+    if embedding_cache:
+        if verbose and (train_table is None or val_table is None):
+            print("Precomputing CLIP embeddings (frozen encoder, computed once)...")
+        if not online_augment and train_table is None:
             train_table = _embedding_table(extractor, train_ds)
-        val_table = _embedding_table(extractor, val_ds)
+        if val_table is None:
+            val_table = _embedding_table(extractor, val_ds)
 
     model = build_model(dtype, clip_dim=extractor.output_dim)
     tx = sgd_nesterov(lr, weight_decay, momentum)
@@ -200,11 +293,12 @@ def train(
     train_step = make_segmentation_train_step(use_clip=True, **loss_kw)
     eval_step = make_segmentation_eval_step(use_clip=True, **loss_kw)
 
-    start_epoch, best = 0, None
+    start_epoch, best, es_state = 0, None, None
     if resume:
         state, meta = restore_checkpoint(resume, state)
         start_epoch = meta.get("epoch", 0)
         best = meta.get("best_metric")
+        es_state = meta.get("early_stopping")
 
     def train_batches(epoch):
         it = batch_iterator(train_ds, batch_size, shuffle=True,
@@ -240,6 +334,7 @@ def train(
         patience=patience,
         start_epoch=start_epoch,
         best_metric=best,
+        early_stopping_state=es_state,
         arch_config=arch_config(extractor.output_dim),
         verbose=verbose,
     )
@@ -254,6 +349,7 @@ def evaluate(
     dtype=jnp.bfloat16,
     clip_model: str = "ViT-B/16",
     clip_weights: Optional[str] = None,
+    embeddings_dir: Optional[str | Path] = None,
     use_clip_features: bool = True,
     visualize_samples: int = 0,
     num_threads: int = 8,
@@ -273,8 +369,7 @@ def evaluate(
         data_dir / "Test" / "resized",
         data_dir / "Test" / "processed_labels",
         include_augmented=False,
-        clip_dir=data_dir / "Test" / "resized_clip"
-        if (data_dir / "Test" / "resized_clip").exists() else data_dir / "Test" / "resized",
+        clip_dir=data_dir / "Test" / "resized_clip",
     )
     if verbose:
         print(f"Test dataset size: {len(test_ds)} images")
@@ -282,9 +377,13 @@ def evaluate(
             print("NOTE: evaluating WITHOUT clip conditioning "
                   "(reproducing the reference evaluator quirk)")
 
+    test_table = None
+    if use_clip_features and embeddings_dir is not None:
+        test_table = _load_embedding_table(
+            embeddings_dir, "Test", test_ds, clip_model, verbose)
     extractor = (
         ClipFeatureExtractor(clip_model, clip_weights, dtype=dtype)
-        if use_clip_features else None
+        if use_clip_features and test_table is None else None
     )
 
     @inference_jit
@@ -300,6 +399,8 @@ def evaluate(
 
     def predict_fn(batch):
         images = jnp.asarray(batch["image"], dtype)
+        if test_table is not None:
+            return forward(params, images, jnp.asarray(test_table[batch["index"]]))
         if extractor is None:
             return forward_plain(params, images)
         cf = extractor(jnp.asarray(batch["clip_image"]))
