@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import warnings
 from typing import Dict, Tuple
 
 import jax
@@ -142,27 +143,37 @@ def load_policy_yaml(path) -> Dict[str, Tuple[float, float]]:
         cfg = yaml.safe_load(f) or {}
 
     def lookup(tree, keypath):
+        """Returns (present, value): ``present`` distinguishes a key that is
+        absent (silent default) from one that is present but malformed
+        (warned default) — a typo'd config must not train silently."""
         node = tree
-        for k in keypath:
+        for i, k in enumerate(keypath):
             if isinstance(k, int):
                 if not isinstance(node, (list, tuple)) or k >= len(node):
-                    return None
+                    return (i > 0 and not isinstance(node, (list, tuple)), None)
                 node = node[k]
             else:
                 if not isinstance(node, dict) or k not in node:
-                    return None
+                    return (i > 0 and not isinstance(node, dict), None)
                 node = node[k]
-        return float(node) if isinstance(node, (int, float)) else None
+        if isinstance(node, (int, float)) and not isinstance(node, bool):
+            return True, float(node)
+        return True, None
 
     policy = dict(POLICY)
     for our_key, keypath in _YAML_KEYMAP.items():
-        cat_v = lookup(cfg.get("cat") or {}, keypath)
-        dog_v = lookup(cfg.get("dog") or {}, keypath)
         default = POLICY[our_key]
-        policy[our_key] = (
-            cat_v if cat_v is not None else default[0],
-            dog_v if dog_v is not None else default[1],
-        )
+        values = []
+        for side, cls in ((0, "cat"), (1, "dog")):
+            present, v = lookup(cfg.get(cls) or {}, keypath)
+            if present and v is None:
+                warnings.warn(
+                    f"augmentation YAML: {cls}.{'.'.join(map(str, keypath))} "
+                    f"is malformed; using default {default[side]}",
+                    stacklevel=2,
+                )
+            values.append(v if v is not None else default[side])
+        policy[our_key] = (values[0], values[1])
     return policy
 
 

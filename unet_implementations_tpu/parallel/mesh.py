@@ -14,6 +14,7 @@ matters is batch sharding.
 
 from __future__ import annotations
 
+import warnings
 from typing import Any, Optional
 
 import jax
@@ -73,8 +74,18 @@ def shard_batch(batch: Any, mesh: Optional[Mesh]) -> Any:
                 keep = (x.shape[0] // local_dev) * local_dev
                 if keep == 0:
                     reps = local_dev - x.shape[0]
+                    warnings.warn(
+                        f"multi-host tail batch: {reps} duplicated sample(s) "
+                        "double-counted in batch-mean validation metrics",
+                        stacklevel=2,
+                    )
                     x = np.concatenate([x, np.repeat(x[:1], reps, axis=0)])
                 else:
+                    warnings.warn(
+                        f"multi-host tail batch: {x.shape[0] - keep} "
+                        "sample(s) dropped from validation metrics",
+                        stacklevel=2,
+                    )
                     x = x[:keep]
             return jax.make_array_from_process_local_data(sharded, x)
 

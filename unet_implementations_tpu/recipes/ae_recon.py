@@ -154,11 +154,12 @@ def train(
                                  feature_fns=feature_fns)
     eval_step = make_reconstruction_eval_step()
 
-    start_epoch, best = 0, None
+    start_epoch, best, es_state = 0, None, None
     if resume:
         state, meta = restore_checkpoint(resume, state)
         start_epoch = meta.get("epoch", 0)
         best = meta.get("best_metric")
+        es_state = meta.get("early_stopping")
 
     # V5 parity: dump original/reconstruction comparisons at every
     # checkpoint (reference reconstruction/src/train.py:616-672).
@@ -198,6 +199,7 @@ def train(
         patience=patience,
         start_epoch=start_epoch,
         best_metric=best,
+        early_stopping_state=es_state,
         arch_config=ARCH_CONFIG,
         verbose=verbose,
     )

@@ -121,11 +121,12 @@ def train(
     train_step = make_segmentation_train_step(**loss_kw)
     eval_step = make_segmentation_eval_step(**loss_kw)
 
-    start_epoch, best = 0, None
+    start_epoch, best, es_state = 0, None, None
     if resume:
         state, meta = restore_checkpoint(resume, state)
         start_epoch = meta.get("epoch", 0)
         best = meta.get("best_metric")
+        es_state = meta.get("early_stopping")
 
     def train_batches(epoch):
         it = batch_iterator(
@@ -153,6 +154,7 @@ def train(
         patience=patience,
         start_epoch=start_epoch,
         best_metric=best,
+        early_stopping_state=es_state,
         arch_config=ARCH_CONFIG,
         verbose=verbose,
     )

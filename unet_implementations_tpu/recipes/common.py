@@ -15,6 +15,7 @@ Writes ``evaluation_results.json`` with the reference's exact schema, and
 from __future__ import annotations
 
 import json
+from collections import deque
 from pathlib import Path
 from typing import Callable, Dict, Iterable, Optional
 
@@ -98,6 +99,7 @@ def evaluate_segmentation(
     visualize_samples: int = 0,
     probs_fn: Optional[Callable[[Dict], np.ndarray]] = None,
     num_threads: int = 8,
+    mesh=None,
     verbose: bool = True,
 ) -> Dict:
     """Dataset-level evaluation at original resolution.
@@ -105,6 +107,15 @@ def evaluate_segmentation(
     ``predict_fn(batch) -> (B, 512, 512) int predictions`` (device-side
     forward + argmax). Returns the reference's results dict and writes
     ``evaluation_results.json`` when ``output_dir`` is given.
+
+    ``mesh``: shard each batch's array leaves over the data axis so the
+    forward runs on every device (a replicated-params jit follows its input
+    sharding); without it, 7 of 8 chips idle through the eval pass.
+
+    The device forward and the host-side original-resolution accumulation
+    (``Our_UNet/src/evaluate.py:189-207`` protocol) are PIPELINED: batch
+    i+1's forward is dispatched before batch i's predictions are fetched and
+    resized, so the per-image nearest-resize loop runs while the TPU computes.
 
     ``visualize_samples > 0`` renders the first N batches (prediction
     triptychs, error analysis, and — when ``probs_fn`` is given — confidence
@@ -118,9 +129,21 @@ def evaluate_segmentation(
         viz_dir.mkdir(parents=True, exist_ok=True)
 
     metrics = SegmentationMetrics(num_classes=3, ignore_index=255)
-    for i, batch in enumerate(batch_iterator(dataset, batch_size, shuffle=False,
-                                             num_threads=num_threads)):
-        preds = np.asarray(predict_fn(batch))
+
+    def dispatch(batch):
+        fed = batch
+        if mesh is not None:
+            from unet_implementations_tpu.parallel import shard_batch
+
+            arrays = {k: v for k, v in batch.items()
+                      if k in ("image", "clip_features", "clip_image")}
+            fed = dict(batch, **shard_batch(arrays, mesh))
+        preds = predict_fn(fed)  # async dispatch; fetch deferred
+        probs = probs_fn(fed) if probs_fn is not None else None
+        return batch, preds, probs
+
+    def process(i, batch, preds, probs):
+        preds = np.asarray(preds)
         masks = batch["mask"]
         dims = batch["original_dims"]
         for j in range(preds.shape[0]):
@@ -139,12 +162,23 @@ def evaluate_segmentation(
                 batch["image"][0], preds[0], masks[0],
                 viz_dir / f"error_analysis_batch{i}.png",
             )
-            if probs_fn is not None:
-                probs = np.asarray(probs_fn(batch))
+            if probs is not None:
                 V.visualize_confidence_maps(
-                    batch["image"][0], probs[0],
+                    batch["image"][0], np.asarray(probs)[0],
                     viz_dir / f"confidence_batch{i}.png",
                 )
+
+    pending = deque()
+    done = 0
+    for batch in batch_iterator(dataset, batch_size, shuffle=False,
+                                num_threads=num_threads):
+        pending.append(dispatch(batch))
+        if len(pending) > 2:  # bounded run-ahead
+            process(done, *pending.popleft())
+            done += 1
+    while pending:
+        process(done, *pending.popleft())
+        done += 1
 
     if viz_dir is not None:
         from unet_implementations_tpu.utils import visualize as V
