@@ -147,7 +147,37 @@ def main():
             "n_chips": n_chips,
         },
     }))
+    return {"inference": float(infer_ips), "train": float(train_ips)}
+
+
+def assert_baseline(measured, path, tolerance=0.10):
+    """Fail (exit 1) if either throughput regressed >tolerance vs the
+    committed baseline — the perf-regression guard for refactors
+    (structural guards live in tests/test_perf_guards.py; numbers need
+    real hardware). Update BENCH_baseline.json when a speedup lands."""
+    with open(path) as f:
+        base = json.load(f)
+    failures = []
+    checks = {
+        "inference": base["value"],
+        "train": base["secondary"]["train_step_images_per_sec_per_chip"],
+    }
+    for key, ref in checks.items():
+        floor = ref * (1 - tolerance)
+        log(f"assert-baseline {key}: measured {measured[key]:.1f} vs "
+            f"baseline {ref:.1f} (floor {floor:.1f})")
+        if measured[key] < floor:
+            failures.append(f"{key}: {measured[key]:.1f} < {floor:.1f}")
+    if failures:
+        log("BASELINE REGRESSION: " + "; ".join(failures))
+        sys.exit(1)
+    log("assert-baseline: ok")
 
 
 if __name__ == "__main__":
-    main()
+    measured = main()
+    if "--assert-baseline" in sys.argv:
+        idx = sys.argv.index("--assert-baseline")
+        path = (sys.argv[idx + 1] if idx + 1 < len(sys.argv)
+                else "BENCH_baseline.json")
+        assert_baseline(measured, path)
