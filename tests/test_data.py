@@ -225,11 +225,13 @@ class TestLoader:
                         mode="reconstruction", process_index=1, process_count=2)
         names0 = {p.name for p in d0.image_files}
         names1 = {p.name for p in d1.image_files}
-        assert not names0 & names1
         # EQUAL shards (unequal per-host file counts would desynchronize the
-        # per-epoch batch counts → collective deadlock); the remainder is
-        # dropped: 5 files / 2 hosts → 2 + 2.
-        assert len(names0) == len(names1) == 2
+        # per-epoch batch counts → collective deadlock); the non-divisible
+        # tail is padded by wrapping from the start, so every file is seen
+        # by SOME host: 5 files / 2 hosts → 3 + 3 with one duplicate.
+        assert len(d0.image_files) == len(d1.image_files) == 3
+        assert names0 | names1 == {f"img_{i}.jpg" for i in range(5)}
+        assert len(names0 & names1) <= 1  # only the wrap-pad duplicate
 
     def test_blank_fallback_on_missing_mask(self, tmp_path):
         self._make_processed(tmp_path / "Train", with_aug=False)
