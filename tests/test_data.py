@@ -285,3 +285,42 @@ class TestEvalProtocol:
         assert res["pixel_accuracy"] == pytest.approx(1.0)
         assert res["mean_foreground_dice"] == pytest.approx(1.0)
         assert (tmp_path / "out" / "evaluation_results.json").exists()
+
+    def test_evaluate_segmentation_mesh_sharded_matches_unsharded(self, tmp_path):
+        """The mesh-sharded, pipelined eval path returns bit-identical
+        metrics to the serial single-device path (8-device CPU mesh)."""
+        import jax
+        import jax.numpy as jnp
+        from unet_implementations_tpu.parallel import create_mesh
+        from unet_implementations_tpu.recipes.common import evaluate_segmentation
+
+        root = tmp_path / "Test"
+        rng = np.random.default_rng(9)
+        (root / "resized").mkdir(parents=True)
+        (root / "processed_labels").mkdir(parents=True)
+        for i in range(10):  # batch 8 -> one full + one tail batch
+            img = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+            cv2.imwrite(str(root / "resized" / f"img_{i}.jpg"), img)
+            oh, ow = int(rng.integers(40, 80)), int(rng.integers(40, 80))
+            m = rng.integers(0, 3, (oh, ow)).astype(np.uint8)
+            Image.fromarray(m).save(root / "processed_labels" / f"img_{i}.png")
+
+        ds = PetDataset(root / "resized", root / "processed_labels",
+                        include_augmented=False, target_size=(64, 64))
+
+        @jax.jit
+        def model(images):
+            # Deterministic pseudo-model: channel argmax of a fixed projection.
+            w = jnp.asarray(np.random.default_rng(0).normal(size=(3, 3)),
+                            jnp.float32)
+            return jnp.argmax(images.astype(jnp.float32) @ w, axis=-1).astype(
+                jnp.int32)
+
+        def predict_fn(batch):
+            return model(jnp.asarray(batch["image"]))
+
+        serial = evaluate_segmentation(predict_fn, ds, batch_size=8, verbose=False)
+        sharded = evaluate_segmentation(predict_fn, ds, batch_size=8,
+                                        mesh=create_mesh(), verbose=False)
+        for k in ("pixel_accuracy", "mean_iou", "mean_foreground_dice"):
+            assert serial[k] == pytest.approx(sharded[k], abs=1e-9), k
