@@ -213,6 +213,19 @@ def build_parser() -> argparse.ArgumentParser:
                       choices=["our_unet", "clip_unet", "ae_recon",
                                "ae_transfer"])
 
+    prof = sub.add_parser(
+        "profile", help="compile a model step and print its per-fusion "
+                        "analytic cost table (FLOPs, HBM bytes, roofline)")
+    prof.add_argument("--arch", default="our_unet",
+                      choices=["our_unet", "clip_unet", "ae_recon",
+                               "ae_transfer"])
+    prof.add_argument("--batch_size", type=int, default=128)
+    prof.add_argument("--size", type=int, default=512)
+    prof.add_argument("--train", action="store_true",
+                      help="profile the full train step instead of inference")
+    prof.add_argument("--top", type=int, default=30)
+    prof.add_argument("--f32", action="store_true")
+
     pred = sub.add_parser(
         "predict", help="run a trained UNet on an image file or directory")
     pred.add_argument("--model_path", required=True)
@@ -284,6 +297,67 @@ def main(argv=None):
 
         convert_torch_checkpoint(args.torch_checkpoint, args.output, args.arch)
         print(f"converted {args.torch_checkpoint} -> {args.output}")
+        return
+
+    if args.recipe == "profile":
+        import jax
+        import jax.numpy as jnp
+
+        from unet_implementations_tpu.models.unet import (
+            autoencoder_6stage,
+            unet_6stage,
+        )
+        from unet_implementations_tpu.utils.profiling import (
+            cost_table_from_text,
+            format_table,
+        )
+
+        dtype = _dtype(args)
+        clip = args.arch == "clip_unet"
+        if args.arch == "ae_recon":
+            model = autoencoder_6stage(dtype=dtype)
+        else:
+            model = unet_6stage(dtype=dtype, clip_fusion=clip)
+        x1 = jnp.zeros((1, args.size, args.size, 3), dtype)
+        extra = ((jnp.zeros((1, 512), dtype),) if clip else ())
+        params = model.init(jax.random.key(0), x1, *extra)["params"]
+        xb = jnp.zeros((args.batch_size, args.size, args.size, 3), dtype)
+        extrab = ((jnp.zeros((args.batch_size, 512), dtype),) if clip
+                  else ())
+
+        if args.train:
+            from unet_implementations_tpu.training import (
+                create_train_state,
+                make_reconstruction_train_step,
+                make_segmentation_train_step,
+                sgd_nesterov,
+            )
+
+            state = create_train_state(
+                model, jax.random.key(0), x1, sgd_nesterov(),
+                clip_features=extra[0] if clip else None)
+            if args.arch == "ae_recon":
+                step = make_reconstruction_train_step(donate=False)
+                batch = {"image": xb, "target": xb}
+            else:
+                step = make_segmentation_train_step(donate=False,
+                                                    use_clip=clip)
+                batch = {"image": xb,
+                         "mask": jnp.zeros(xb.shape[:3], jnp.int32)}
+                if clip:
+                    batch["clip_features"] = extrab[0]
+            compiled = step.lower(state, batch, jax.random.key(1)).compile()
+        else:
+            from unet_implementations_tpu.ops.tuning import inference_jit
+
+            @inference_jit
+            def infer(img, *ex):
+                return model.apply({"params": params}, img, *ex,
+                                   deterministic=True)
+
+            compiled = infer.lower(xb, *extrab).compile()
+        print(format_table(cost_table_from_text(compiled.as_text()),
+                           top=args.top))
         return
 
     if args.recipe == "predict":

@@ -1,1 +1,2 @@
-"""Host-side utilities: visualization, reporting, dataset analysis."""
+"""Host-side utilities: visualization, reporting, dataset analysis,
+compiled-HLO cost profiling (utils/profiling.py)."""
