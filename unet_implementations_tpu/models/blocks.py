@@ -98,6 +98,10 @@ class ConvOp(nn.Module):
     # Dense channel counts when the s2d input is a channel-concat of
     # independently rearranged tensors (q-major layout; see models/s2d.py).
     s2d_segments: Optional[Tuple[int, ...]] = None
+    # Segment 0 of the tuple input is the PRE-upsample dense tensor; the 2x
+    # bilinear upsample is folded into its kernel (models/s2d.py::
+    # conv_up_fold) instead of being materialized.
+    s2d_up_fold: bool = False
 
     @nn.compact
     def __call__(self, x) -> jax.Array:
@@ -119,6 +123,17 @@ class ConvOp(nn.Module):
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
         if isinstance(x, (tuple, list)):
+            if self.s2d and self.s2d_up_fold:
+                from unet_implementations_tpu.models.s2d import (
+                    conv_s2d_multi_up_fold,
+                )
+
+                return conv_s2d_multi_up_fold(
+                    x[0].astype(self.dtype),
+                    [xi.astype(self.dtype) for xi in x[1:]],
+                    kernel.astype(self.dtype), bias.astype(self.dtype),
+                    self.s2d_segments,
+                )
             if self.s2d:
                 from unet_implementations_tpu.models.s2d import conv_s2d_multi
 
@@ -188,6 +203,9 @@ class ConvBlock(nn.Module):
     # conv_0's s2d input is a concat of independently rearranged tensors
     # (dense channel counts per segment; q-major layout — models/s2d.py).
     s2d_segments_first: Optional[Tuple[int, ...]] = None
+    # conv_0's segment 0 is pre-upsample dense; fold the 2x upsample into
+    # its kernel (see ConvOp.s2d_up_fold).
+    s2d_up_fold_first: bool = False
     # Pallas-fused InstanceNorm+LeakyReLU (kernels/instance_norm.py). OFF by
     # default: measured end-to-end it LOSES to XLA (99.9ms → 139.8ms @512²
     # b32) because the custom call breaks producer/consumer fusion with the
@@ -207,6 +225,7 @@ class ConvBlock(nn.Module):
                 s2d=self.s2d,
                 s2d_input=self.s2d_input_first and i == 0,
                 s2d_segments=self.s2d_segments_first if i == 0 else None,
+                s2d_up_fold=self.s2d_up_fold_first and i == 0,
                 name=f"conv_{i}",
             )(x)
             x = InstanceNorm(
@@ -259,11 +278,12 @@ class UpBlock(nn.Module):
     def __call__(
         self, x: jax.Array, skip: jax.Array, deterministic: bool = True
     ) -> jax.Array:
-        from unet_implementations_tpu.ops.resize import resize_bilinear, upsample2x_nhwc
+        from unet_implementations_tpu.ops.resize import resize_bilinear
 
         segments = None
+        up_fold = False
         if self.s2d:
-            from unet_implementations_tpu.models.s2d import upsample2x_into_s2d
+            from unet_implementations_tpu.models.s2d import up_fold_enabled
 
             assert skip.shape[1:3] == x.shape[1:3], "s2d skip must match spatially"
             # q-major layout: the logical channel-concat of the upsampled
@@ -271,11 +291,28 @@ class UpBlock(nn.Module):
             # conv splits over the segments, so the model's largest tensor
             # (the decoder concat) is never materialized.
             segments = (x.shape[-1], skip.shape[-1] // 4)
-            x = (upsample2x_into_s2d(x.astype(self.dtype)), skip.astype(self.dtype))
+            up_fold = up_fold_enabled()
+            if up_fold:
+                # The 2x upsample folds into the conv kernel entirely
+                # (models/s2d.py::conv_up_fold) — pass x pre-upsample.
+                x = (x.astype(self.dtype), skip.astype(self.dtype))
+            else:
+                from unet_implementations_tpu.kernels.upsample import (
+                    upsample2x_into_s2d_fast,
+                )
+
+                x = (upsample2x_into_s2d_fast(x.astype(self.dtype)),
+                     skip.astype(self.dtype))
         else:
             if x.shape[1:3] != skip.shape[1:3]:
                 if (skip.shape[1], skip.shape[2]) == (2 * x.shape[1], 2 * x.shape[2]):
-                    x = upsample2x_nhwc(x)  # fused fast path, exact same values
+                    # One-pass Pallas kernel on TPU (kernels/upsample.py),
+                    # identical values; jnp fused path elsewhere.
+                    from unet_implementations_tpu.kernels.upsample import (
+                        upsample2x_nhwc_fast,
+                    )
+
+                    x = upsample2x_nhwc_fast(x)
                 else:
                     x = resize_bilinear(x, skip.shape[1:3], spatial_axes=(1, 2))
             # Logical concat passed unmerged — the first conv splits over the
@@ -290,5 +327,6 @@ class UpBlock(nn.Module):
             dtype=self.dtype,
             s2d=self.s2d,
             s2d_segments_first=segments,
+            s2d_up_fold_first=up_fold,
             name="conv_block",
         )(x, deterministic=deterministic)

@@ -226,6 +226,148 @@ def instance_norm_s2d(
     return y.reshape(b, hp, wp, cf).astype(out_dtype)
 
 
+# --- upsample-conv folding -------------------------------------------------
+#
+# Composite-tap table for folding the exact-2x bilinear upsample INTO the
+# following 3x3 s2d conv. For output sub-pixel parity o and original kernel
+# tap k, the conv reads the upsampled row n = o + k - 1, which is the 2-tap
+# lerp of x rows; _FOLD_TAPS[o, k, dy+1] is the resulting weight of x row
+# offset dy ∈ {-1, 0, 1}:
+#     n = 2*by + ry;  ry=0 → {x[by-1]: 0.25, x[by]: 0.75}
+#                     ry=1 → {x[by]: 0.75, x[by+1]: 0.25}
+_FOLD_TAPS = np.zeros((2, 3, 3), np.float32)
+for _o in range(2):
+    for _k in range(3):
+        _n = _o + _k - 1
+        _by, _ry = _n // 2, _n % 2
+        if _ry == 0:
+            _FOLD_TAPS[_o, _k, _by - 1 + 1] += 0.25
+            _FOLD_TAPS[_o, _k, _by + 1] += 0.75
+        else:
+            _FOLD_TAPS[_o, _k, _by + 1] += 0.75
+            _FOLD_TAPS[_o, _k, _by + 1 + 1] += 0.25
+del _o, _k, _n, _by, _ry
+
+
+def fold_up_kernel(kernel: jax.Array) -> jax.Array:
+    """(3, 3, Cin, Cout) → (3, 3, Cin, 4Cout) q-major composite kernel.
+
+    ``conv_s2d(upsample2x_into_s2d(x), K)`` collapses to a plain 3x3 conv on
+    the PRE-upsample dense tensor: the four q channel groups of the upsample
+    are redundant lerps of the same Cin channels, so the lerp weights fold
+    into the kernel (exact in the interior up to one bf16 rounding — the
+    live path rounds the lerps to the activation dtype before the conv, the
+    folded path rounds the combined kernel instead). Removes both the lerp
+    HBM machinery (~13 GB/step at b128, docs/PERFORMANCE.md) and 3/4 of the
+    up-segment MACs (4Cin → Cin contraction).
+    """
+    assert kernel.shape[0] == 3 and kernel.shape[1] == 3
+    taps = jnp.asarray(_FOLD_TAPS, kernel.dtype)
+    # kf[dy, dx, c, oy, ox, o] = Σ_{ky,kx} taps[oy,ky,dy]·taps[ox,kx,dx]·K
+    kf = jnp.einsum("ykd,xwe,kwco->decyxo", taps, taps, kernel)
+    c, cout = kernel.shape[2], kernel.shape[3]
+    return kf.reshape(3, 3, c, 4 * cout)
+
+
+def _up_contrib_strip(x3: jax.Array, kernel: jax.Array, axis: int,
+                      pad: Tuple[int, int], take: int) -> jax.Array:
+    """Reference-path up-segment contribution for ONE s2d output row/col.
+
+    ``x3``: a 3-row (axis=1) or 3-col (axis=2) slice of the pre-upsample
+    tensor whose upsample covers the conv's receptive field for the border
+    line being recomputed. ``pad``: strip padding along ``axis`` (the other
+    spatial axis keeps the global (1, 1)); ``take``: output line to keep.
+    The slice's far-edge lerp clamp is wrong relative to the full tensor,
+    but the taken output line never reads those entries.
+    """
+    up = upsample2x_into_s2d(x3)
+    kt = transform_kernel(kernel)
+    padding = [pad, (1, 1)] if axis == 1 else [(1, 1), pad]
+    y = jax.lax.conv_general_dilated(
+        up, kt, (1, 1), padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return jax.lax.dynamic_slice_in_dim(y, take, 1, axis=axis)
+
+
+def conv_up_fold(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    """Up-segment of an s2d decoder conv, computed WITHOUT upsampling.
+
+    ``x``: the pre-upsample dense tensor (B, H, W, Cin) — same spatial grid
+    as the s2d level. Returns the (B, H, W, 4Cout) s2d contribution of
+    ``conv_s2d(upsample2x_into_s2d(x), K)`` (no bias).
+
+    Interior: one folded 3x3 conv (``fold_up_kernel``). Borders: the fold's
+    zero padding differs from the composite's semantics (the upsample
+    edge-clamps its lerps, then the s2d conv zero-pads a whole BLOCK row),
+    so the 1-block border frame is recomputed via the reference path on
+    3-row/3-col strips and written back — exact.
+    """
+    b, h, w, cin = x.shape
+    kf = fold_up_kernel(kernel)
+    y = jax.lax.conv_general_dilated(
+        x, kf, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    # Border frame, reference path. Row strips use the full W context (and
+    # W zero-padding), so they are exact including corners; col strips
+    # likewise use full H context.
+    top = _up_contrib_strip(x[:, 0:3], kernel, 1, (1, 0), 0)
+    bot = _up_contrib_strip(x[:, h - 3:], kernel, 1, (0, 1), 1)
+    left = _up_contrib_strip(x[:, :, 0:3], kernel, 2, (1, 0), 0)
+    right = _up_contrib_strip(x[:, :, w - 3:], kernel, 2, (0, 1), 1)
+    y = jax.lax.dynamic_update_slice_in_dim(y, top.astype(y.dtype), 0, axis=1)
+    y = jax.lax.dynamic_update_slice_in_dim(
+        y, bot.astype(y.dtype), h - 1, axis=1)
+    y = jax.lax.dynamic_update_slice_in_dim(
+        y, left.astype(y.dtype), 0, axis=2)
+    y = jax.lax.dynamic_update_slice_in_dim(
+        y, right.astype(y.dtype), w - 1, axis=2)
+    return y
+
+
+def up_fold_enabled() -> bool:
+    """Default policy for folding the decoder upsample into the s2d conv:
+    ON on TPU backends (measured win, docs/PERFORMANCE.md), OFF elsewhere —
+    CPU tests exercise the reference path, whose numerics the fold matches
+    only up to one activation-dtype rounding. Override with
+    ``UNET_TPU_S2D_UP_FOLD=0|1``."""
+    import os
+
+    v = os.environ.get("UNET_TPU_S2D_UP_FOLD")
+    if v is not None:
+        return v not in ("0", "false", "")
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
+def conv_s2d_multi_up_fold(
+    x_pre_up: jax.Array,
+    rest: Sequence[jax.Array],
+    kernel: jax.Array,
+    bias: jax.Array,
+    segments: Sequence[int],
+) -> jax.Array:
+    """``conv_s2d_multi([upsample2x_into_s2d(x_pre_up), *rest], ...)`` with
+    the upsample folded into segment 0's kernel (``conv_up_fold``)."""
+    assert len(rest) == len(segments) - 1
+    c0 = segments[0]
+    y = conv_up_fold(x_pre_up, kernel[:, :, :c0, :])
+    base = c0
+    for xi, cs in zip(rest, segments[1:]):
+        kt = transform_kernel(kernel[:, :, base:base + cs, :])
+        pad = kt.shape[0] // 2
+        yi = jax.lax.conv_general_dilated(
+            xi, kt, (1, 1), [(pad, pad), (pad, pad)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        y = y + yi
+        base += cs
+    return y + s2d_bias(bias).astype(y.dtype)
+
+
 def upsample2x_into_s2d(x: jax.Array) -> jax.Array:
     """Exact 2x bilinear upsample emitted directly in s2d layout.
 
