@@ -138,6 +138,77 @@ class TestModelEquivalence:
         out = model.apply(params, x)
         assert out.shape == (1, 33, 33, 3)
 
+    def test_low_channel_decoder_s2d_equivalent(self):
+        """s2d_low_channel_decoders wraps sub-128ch dense decoder levels in
+        s2d space (MAC-neutral there); outputs, grads, and the param tree
+        must match the dense path exactly (same params)."""
+        make = lambda wrap: UNet(
+            # decoder feats=64 < 128 with (4*64) % 128 == 0 → wrap triggers
+            # on decoder_0; decoder_1 is the s2d_level0 stage.
+            features_per_stage=(32, 64, 128), strides=(1, 2, 2),
+            encoder_dropout_rates=(0.0, 0.0, 0.0),
+            decoder_dropout_rates=(0.0, 0.0),
+            s2d_low_channel_decoders=wrap,
+        )
+        x = jnp.asarray(np.random.default_rng(11).normal(size=(2, 32, 32, 3)),
+                        jnp.float32)
+        params = make(False).init(jax.random.key(0), x)
+        p2 = make(True).init(jax.random.key(0), x)
+        assert jax.tree.structure(params) == jax.tree.structure(p2)
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):
+            assert a.shape == b.shape
+
+        out_dense = make(False).apply(params, x)
+        out_wrap = make(True).apply(params, x)
+        np.testing.assert_allclose(np.asarray(out_wrap), np.asarray(out_dense),
+                                   rtol=1e-4, atol=1e-4)
+
+        def loss(p, wrap):
+            return jnp.sum(make(wrap).apply(p, x) ** 2)
+
+        g0 = jax.grad(loss)(params, False)
+        g1 = jax.grad(loss)(params, True)
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            a, b = np.asarray(a), np.asarray(b)
+            # Different summation order ⇒ f32 noise; scale atol to the
+            # leaf's magnitude. Floor covers analytically-zero leaves
+            # (conv bias feeding an instance norm: IN subtracts the mean,
+            # so those grads are exactly 0 and both arrays are rounding
+            # noise ~1e-3); kernel/scale leaves are O(0.1-10) and still
+            # get the tight 0.2% relative check.
+            atol = max(5e-3, 2e-3 * float(np.max(np.abs(a), initial=0.0)))
+            np.testing.assert_allclose(a, b, rtol=2e-3, atol=atol)
+
+    def test_low_channel_decoder_dropout_masks_match(self):
+        """Wrapped decoders draw the same channel-dropout mask as dense."""
+        make = lambda wrap: UNet(
+            features_per_stage=(32, 64, 128), strides=(1, 2, 2),
+            encoder_dropout_rates=(0.0, 0.0, 0.0),
+            decoder_dropout_rates=(0.5, 0.0),
+            s2d_low_channel_decoders=wrap,
+        )
+        x = jnp.asarray(np.random.default_rng(12).normal(size=(1, 32, 32, 3)),
+                        jnp.float32)
+        params = make(False).init(jax.random.key(0), x)
+        kw = dict(deterministic=False, rngs={"dropout": jax.random.key(7)})
+        a = make(False).apply(params, x, **kw)
+        b = make(True).apply(params, x, **kw)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_low_channel_decoder_wrap_skips_odd_sizes(self):
+        model = UNet(features_per_stage=(32, 64, 128), strides=(1, 2, 2),
+                     encoder_dropout_rates=(0.0, 0.0, 0.0),
+                     decoder_dropout_rates=(0.0, 0.0))
+        x = jnp.zeros((1, 36, 36, 3))  # 36/2=18 (even) but 18/2=9: the
+        # decoder_0 skip is 18² (even) so the wrap may run; at 34² the skip
+        # is 17² (odd) and the wrap must fall back to the dense path.
+        params = model.init(jax.random.key(0), x)
+        assert model.apply(params, x).shape == (1, 36, 36, 3)
+        x2 = jnp.zeros((1, 34, 34, 3))
+        p2 = model.init(jax.random.key(0), x2)
+        assert model.apply(p2, x2).shape == (1, 34, 34, 3)
+
     def test_dropout_masks_match_between_modes(self):
         """Channel-dropout draws the same mask in both layouts (same rng)."""
         make = lambda s2d: UNet(

@@ -64,6 +64,12 @@ class UNet(nn.Module):
     # for the low-channel 512² convs (models/s2d.py). Auto-disabled for odd
     # spatial sizes or a strided first stage.
     s2d_level0: bool = True
+    # Run sub-128-channel DENSE decoder levels in s2d space too (s2d skip →
+    # s2d block → depth-to-space out): MAC-neutral there (the dense level's
+    # lane padding already wastes the same 4x), the upsample folds into the
+    # first conv (models/s2d.py::conv_up_fold), and the dense lerp+interleave
+    # HBM machinery disappears. For the 6-stage net this is decoder_3 (64ch).
+    s2d_low_channel_decoders: bool = True
     # Rematerialize (jax.checkpoint) each Conv/Up block under grad: only
     # block outputs are saved for the backward pass, in-block intermediates
     # (norm/activation tensors) recompute. Numerically exact. Halves the
@@ -176,15 +182,40 @@ class UNet(nn.Module):
         for d in range(n - 1):
             skip_idx = n - 2 - d
             s2d_stage = use_s2d and skip_idx == 0
+            skip = skips[skip_idx]
+            feats = self.features_per_stage[skip_idx]
+            # Low-channel dense levels run in s2d space (see field doc).
+            # Param names/shapes are unchanged (canonical kernels), so the
+            # mode is checkpoint-independent like s2d_level0.
+            s2d_wrap = (
+                self.s2d_low_channel_decoders
+                and not s2d_stage
+                and feats < 128
+                and (4 * feats) % 128 == 0
+                and self.kernel_size == 3
+                and skip.shape[1] == 2 * x.shape[1]
+                and skip.shape[2] == 2 * x.shape[2]
+                and skip.shape[1] % 2 == 0
+                and skip.shape[2] % 2 == 0
+            )
+            if s2d_wrap:
+                from unet_implementations_tpu.models.s2d import (
+                    depth_to_space,
+                    space_to_depth,
+                )
+
+                skip = space_to_depth(skip)
             x = UpBlockM(
-                features=self.features_per_stage[skip_idx],
+                features=feats,
                 kernel_size=self.kernel_size,
                 n_convs=self.n_conv_per_stage_decoder,
                 dropout_rate=self.decoder_dropout_rates[d],
                 dtype=self.dtype,
-                s2d=s2d_stage,
+                s2d=s2d_stage or s2d_wrap,
                 name=f"decoder_{d}",
-            )(x, skips[skip_idx], deterministic)
+            )(x, skip, deterministic)
+            if s2d_wrap:
+                x = depth_to_space(x)
 
         from unet_implementations_tpu.models.blocks import ConvOp
 

@@ -139,6 +139,13 @@ def _upsample2x_axis(x: jax.Array, axis: int) -> jax.Array:
 
 
 def upsample2x_nhwc(x: jax.Array) -> jax.Array:
-    """Exact 2x bilinear upsample (the standard decoder step), NHWC."""
+    """Exact 2x bilinear upsample (the standard decoder step), NHWC.
+
+    Kept as per-axis lerp+interleave: the bitwise-identical alternative
+    ``depth_to_space(upsample2x_into_s2d(x))`` (one transpose copy instead
+    of two stack-interleave rounds) measured WORSE end-to-end (b128
+    inference 202 → 208 ms) — XLA's pad+maximum interleave lowering beats
+    its own depth-to-space transpose here.
+    """
     x = _upsample2x_axis(x, 1)
     return _upsample2x_axis(x, 2)
