@@ -226,6 +226,23 @@ def build_parser() -> argparse.ArgumentParser:
     prof.add_argument("--top", type=int, default=30)
     prof.add_argument("--f32", action="store_true")
 
+    exp = sub.add_parser(
+        "export", help="AOT-export a trained checkpoint to a self-contained "
+                       "StableHLO serving artifact (jax.export)")
+    exp.add_argument("--model_path", required=True,
+                     help="training checkpoint (e.g. <out>/best_model)")
+    exp.add_argument("--output_dir", required=True)
+    exp.add_argument("--arch", default="our_unet",
+                     choices=["our_unet", "clip_unet", "ae_recon",
+                              "ae_transfer"])
+    exp.add_argument("--batch_size", type=int, default=1,
+                     help="static serving batch baked into the module")
+    exp.add_argument("--img_size", type=int, default=512)
+    exp.add_argument("--clip_dim", type=int, default=512)
+    exp.add_argument("--platforms", default="tpu,cpu",
+                     help="comma-separated lowering targets")
+    exp.add_argument("--f32", action="store_true")
+
     pred = sub.add_parser(
         "predict", help="run a trained UNet on an image file or directory")
     pred.add_argument("--model_path", required=True)
@@ -358,6 +375,21 @@ def main(argv=None):
             compiled = infer.lower(xb, *extrab).compile()
         print(format_table(cost_table_from_text(compiled.as_text()),
                            top=args.top))
+        return
+
+    if args.recipe == "export":
+        from unet_implementations_tpu.serving import export as serving_export
+
+        out, meta = serving_export.export_recipe_checkpoint(
+            args.model_path, args.output_dir,
+            recipe=args.arch, batch_size=args.batch_size,
+            img_size=args.img_size, clip_dim=args.clip_dim,
+            dtype=_dtype(args),
+            platforms=tuple(p for p in args.platforms.split(",") if p),
+        )
+        print(f"exported {args.arch} -> {out} "
+              f"(batch={meta['batch_size']}, {meta['img_size']}px, "
+              f"platforms={','.join(meta['platforms'])})")
         return
 
     if args.recipe == "predict":
