@@ -102,6 +102,36 @@ class TestExportRoundtrip:
             assert a.shape == b.shape and a.dtype == b.dtype
 
 
+class TestPredictFromArtifact:
+    @pytest.mark.slow
+    def test_predict_auto_detects_exported_artifact(self, tmp_path):
+        """`predict --model_path <artifact>` replays the exported module."""
+        import cv2
+
+        from unet_implementations_tpu.models.unet import unet_6stage
+        from unet_implementations_tpu.recipes.common import predict_segmentation
+
+        model = unet_6stage(dtype=jnp.float32)
+        params = model.init(jax.random.key(0),
+                            jnp.zeros((1, 64, 64, 3)))["params"]
+        art = save_exported(tmp_path / "art", model, params,
+                            recipe="our_unet", batch_size=2, img_size=512,
+                            input_dtype=jnp.float32, platforms=("cpu",))
+
+        imgs = tmp_path / "imgs"
+        imgs.mkdir()
+        rng = np.random.default_rng(0)
+        cv2.imwrite(str(imgs / "a.jpg"),
+                    (rng.random((40, 30, 3)) * 255).astype(np.uint8))
+
+        out = tmp_path / "preds"
+        n = predict_segmentation(art, imgs, out, batch_size=2, verbose=False)
+        assert n == 1
+        mask = cv2.imread(str(out / "a_mask.png"), cv2.IMREAD_GRAYSCALE)
+        assert mask.shape == (40, 30)
+        assert set(np.unique(mask)) <= {0, 1, 2}
+
+
 class TestExportCLI:
     def test_cli_export_from_checkpoint(self, tmp_path, monkeypatch):
         import unet_implementations_tpu.serving.export as se

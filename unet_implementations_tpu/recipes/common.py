@@ -240,6 +240,10 @@ def predict_segmentation(
     ``<stem>_overlay.png`` (colorized mask blended over the image). Returns
     the number of images processed. Serving-style entry point — the
     reference only exposes dataset-level evaluation.
+
+    ``model_path`` may be a training checkpoint OR an AOT serving artifact
+    from ``cli export`` (auto-detected); the artifact path replays the
+    exported StableHLO module without building the model.
     """
     import cv2
     import jax.numpy as jnp
@@ -259,14 +263,33 @@ def predict_segmentation(
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
 
-    model = unet_6stage(dtype=dtype)
-    abstract = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))["params"]
-    params = restore_params(model_path, abstract)
+    from unet_implementations_tpu.serving.export import ARTIFACT_FORWARD
 
-    @inference_jit
-    def forward(images):
-        logits = model.apply({"params": params}, images, deterministic=True)
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if (Path(model_path) / ARTIFACT_FORWARD).exists():
+        # AOT serving artifact (`cli export`): replay the exported module —
+        # no model construction, no tracing. It fixes dtype and image size.
+        from unet_implementations_tpu.serving import load_exported
+
+        served = load_exported(model_path)
+        dtype = jnp.dtype(served.meta["input_dtype"])
+        if served.meta["img_size"] != 512:
+            raise ValueError(
+                f"exported artifact is {served.meta['img_size']}px; predict "
+                "expects a 512px export"
+            )
+
+        def forward(images):
+            return np.argmax(served.predict(images), axis=-1).astype(np.int32)
+
+    else:
+        model = unet_6stage(dtype=dtype)
+        abstract = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))["params"]
+        params = restore_params(model_path, abstract)
+
+        @inference_jit
+        def forward(images):
+            logits = model.apply({"params": params}, images, deterministic=True)
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     n = 0
     for start in range(0, len(files), batch_size):
