@@ -22,6 +22,47 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def init_devices_or_bail(timeout_s: float = 300.0):
+    """Initialize the JAX backend with a watchdog.
+
+    Over the TPU tunnel, backend init HANGS (not errors) during an outage —
+    observed 2026-08-17 — which would hang the whole driver bench run. Probe
+    ``jax.devices()`` on a daemon thread; on timeout or error, print an
+    honest zero-valued JSON line naming the outage (the last committed
+    on-hardware measurement lives in BENCH_baseline.json) and exit.
+    """
+    import os
+    import threading
+
+    timeout_s = float(os.environ.get("BENCH_INIT_TIMEOUT_S", timeout_s))
+    result = {}
+
+    def probe():
+        try:
+            result["devices"] = jax.devices()
+        except Exception as e:  # noqa: BLE001 — report any backend failure
+            result["error"] = f"{type(e).__name__}: {e}"
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "devices" in result:
+        return result["devices"]
+    why = result.get(
+        "error", f"backend init timed out after {timeout_s:.0f}s (tunnel outage)"
+    )
+    log(f"TPU backend unavailable: {why}")
+    print(json.dumps({
+        "metric": "unet6_512px_bf16_inference_throughput",
+        "value": 0.0,
+        "unit": "images/sec/chip",
+        "vs_baseline": 0.0,
+        "error": f"not measured — {why}; last committed on-hardware "
+                 "measurement is in BENCH_baseline.json",
+    }), flush=True)
+    os._exit(1)  # daemon thread may be stuck in C — skip interpreter teardown
+
+
 def time_chained(step_fn, x0, iters=10):
     """Time a jitted ``x -> x``-shaped step by chaining each iteration's
     input on the previous output and fetching a scalar at the end.
@@ -49,8 +90,9 @@ def main():
         sgd_nesterov,
     )
 
-    n_chips = jax.device_count()
-    log(f"devices: {jax.devices()}")
+    devices = init_devices_or_bail()
+    n_chips = len(devices)
+    log(f"devices: {devices}")
 
     import os
 
