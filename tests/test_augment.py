@@ -1,5 +1,6 @@
 """Tests for the on-device augmentation pipeline (policy-level checks)."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -112,6 +113,7 @@ class TestAugmentBatch:
         assert np.mean(overlaps) > 0.5, overlaps
 
 
+@pytest.mark.slow
 class TestPolicyDistribution:
     def test_flip_rate_approximately_half(self):
         """Distribution-level policy validation (SURVEY §7.3: validate the

@@ -10,6 +10,7 @@ import json
 import pytest
 
 
+@pytest.mark.slow
 def test_bench_multichip_smoke(tmp_path, capsys, monkeypatch):
     import jax
 

@@ -2,6 +2,8 @@
 
 import csv
 
+import pytest
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -69,6 +71,7 @@ class TestSegmentationLoop:
         # best model saved (first epoch is always an improvement from 0)
         assert (tmp_path / "best_model").exists()
 
+    @pytest.mark.slow
     def test_partial_val_batch_on_mesh(self, tmp_path):
         """Final val batch not divisible by the device count must not crash
         (it is replicated instead of sharded — regression for the
@@ -150,6 +153,7 @@ class TestSegmentationLoop:
         # rows 3/4 are the NEW run's values, not the stale 1.0 placeholders
         assert rows[2]["train_loss"] != "1.0"
 
+    @pytest.mark.slow
     def test_resume_continues_epochs(self, tmp_path):
         from unet_implementations_tpu.training.checkpoint import (
             restore_checkpoint, save_checkpoint)
@@ -176,6 +180,7 @@ class TestSegmentationLoop:
         assert [r["epoch"] for r in rows] == ["3", "4"]
 
 
+    @pytest.mark.slow
     def test_resume_reproduces_stop_epoch(self, tmp_path):
         """The early-stopping counter is persisted in meta.json, so a resumed
         run stops at the SAME epoch as an uninterrupted one (the reference
@@ -247,6 +252,7 @@ class TestSegmentationLoop:
 
 
 class TestReconstructionLoop:
+    @pytest.mark.slow
     def test_ae_schema_and_checkpoint_callback(self, tmp_path):
         model = tiny("reconstruction")
         b = synthetic_batch(0, 2, 32, reconstruction=True)

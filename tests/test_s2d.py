@@ -105,6 +105,7 @@ class TestModelEquivalence:
             assert pa.shape == pb.shape
             np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
 
+    @pytest.mark.slow
     def test_remat_is_exact(self):
         """remat=True gives identical outputs AND gradients (same params)."""
         make = lambda remat: UNet(
@@ -138,6 +139,7 @@ class TestModelEquivalence:
         out = model.apply(params, x)
         assert out.shape == (1, 33, 33, 3)
 
+    @pytest.mark.slow
     def test_low_channel_decoder_s2d_equivalent(self):
         """s2d_low_channel_decoders wraps sub-128ch dense decoder levels in
         s2d space (MAC-neutral there); outputs, grads, and the param tree

@@ -133,6 +133,7 @@ class TestPredictFromArtifact:
 
 
 class TestExportCLI:
+    @pytest.mark.slow
     def test_cli_export_from_checkpoint(self, tmp_path, monkeypatch):
         import unet_implementations_tpu.serving.export as se
         from unet_implementations_tpu.cli import main

@@ -223,6 +223,7 @@ class TestDataParallel:
     def test_eight_device_mesh_available(self):
         assert len(jax.devices()) == 8
 
+    @pytest.mark.slow
     def test_sharded_step_matches_single_device(self):
         state = make_state()
         step = make_segmentation_train_step(donate=False)
