@@ -31,7 +31,7 @@ decoder-4 / head level (see ``models/unet.py``).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -270,21 +270,26 @@ def fold_up_kernel(kernel: jax.Array) -> jax.Array:
 
 
 def _up_contrib_strip(x3: jax.Array, kernel: jax.Array, axis: int,
-                      pad: Tuple[int, int], take: int) -> jax.Array:
+                      take: int) -> jax.Array:
     """Reference-path up-segment contribution for ONE s2d output row/col.
 
     ``x3``: a 3-row (axis=1) or 3-col (axis=2) slice of the pre-upsample
     tensor whose upsample covers the conv's receptive field for the border
-    line being recomputed. ``pad``: strip padding along ``axis`` (the other
-    spatial axis keeps the global (1, 1)); ``take``: output line to keep.
-    The slice's far-edge lerp clamp is wrong relative to the full tensor,
-    but the taken output line never reads those entries.
+    line being recomputed. ``take``: output line to keep (0 for the leading
+    edge, 2 for the trailing edge). The slice's far-edge lerp clamp is wrong
+    relative to the full tensor, but the taken output line never reads those
+    entries.
+
+    Padding is SYMMETRIC (1, 1) on both axes — the taken line's value is
+    identical to an asymmetric pad that trims the discarded line, but XLA's
+    SPMD partitioner MISCOMPILES asymmetric conv padding on a sharded
+    spatial dim (measured: 1.7 max-abs error under a (data, space) 2-D
+    mesh; exact under 1-D or no sharding) — see tests/test_spatial.py.
     """
     up = upsample2x_into_s2d(x3)
     kt = transform_kernel(kernel)
-    padding = [pad, (1, 1)] if axis == 1 else [(1, 1), pad]
     y = jax.lax.conv_general_dilated(
-        up, kt, (1, 1), padding,
+        up, kt, (1, 1), [(1, 1), (1, 1)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
     return jax.lax.dynamic_slice_in_dim(y, take, 1, axis=axis)
@@ -312,10 +317,10 @@ def conv_up_fold(x: jax.Array, kernel: jax.Array) -> jax.Array:
     # Border frame, reference path. Row strips use the full W context (and
     # W zero-padding), so they are exact including corners; col strips
     # likewise use full H context.
-    top = _up_contrib_strip(x[:, 0:3], kernel, 1, (1, 0), 0)
-    bot = _up_contrib_strip(x[:, h - 3:], kernel, 1, (0, 1), 1)
-    left = _up_contrib_strip(x[:, :, 0:3], kernel, 2, (1, 0), 0)
-    right = _up_contrib_strip(x[:, :, w - 3:], kernel, 2, (0, 1), 1)
+    top = _up_contrib_strip(x[:, 0:3], kernel, 1, 0)
+    bot = _up_contrib_strip(x[:, h - 3:], kernel, 1, 2)
+    left = _up_contrib_strip(x[:, :, 0:3], kernel, 2, 0)
+    right = _up_contrib_strip(x[:, :, w - 3:], kernel, 2, 2)
     y = jax.lax.dynamic_update_slice_in_dim(y, top.astype(y.dtype), 0, axis=1)
     y = jax.lax.dynamic_update_slice_in_dim(
         y, bot.astype(y.dtype), h - 1, axis=1)
