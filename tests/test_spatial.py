@@ -121,3 +121,54 @@ class TestUpFoldPartitionSafety:
             lambda x: conv_up_fold(x, k), in_shardings=(sh,), out_shardings=sh
         )(jax.device_put(x, sh))
         assert float(jnp.max(jnp.abs(out - ref))) < 1e-5
+
+
+class TestSpatialPredict:
+    @pytest.mark.slow
+    def test_predict_cli_spatial(self, tmp_path):
+        """`predict --spatial 2` runs the sharded forward end-to-end and
+        writes original-resolution masks (values only sanity-checked —
+        forward equivalence is covered by TestSpatialForward)."""
+        import cv2
+
+        from unet_implementations_tpu.models.unet import unet_6stage
+        from unet_implementations_tpu.recipes.common import predict_segmentation
+        from unet_implementations_tpu.training import (
+            create_train_state,
+            sgd_nesterov,
+        )
+        from unet_implementations_tpu.training.checkpoint import save_checkpoint
+
+        model = unet_6stage(dtype=jnp.float32)
+        state = create_train_state(
+            model, jax.random.key(0), jnp.zeros((1, 64, 64, 3)), sgd_nesterov()
+        )
+        save_checkpoint(tmp_path / "ckpt", state, epoch=1, best_metric=0.0)
+        imgs = tmp_path / "imgs"
+        imgs.mkdir()
+        rng = np.random.default_rng(0)
+        cv2.imwrite(str(imgs / "a.jpg"),
+                    (rng.random((40, 30, 3)) * 255).astype(np.uint8))
+        n = predict_segmentation(tmp_path / "ckpt", imgs, tmp_path / "preds",
+                                 dtype=jnp.float32, spatial=2, verbose=False)
+        assert n == 1
+        mask = cv2.imread(str(tmp_path / "preds" / "a_mask.png"),
+                          cv2.IMREAD_GRAYSCALE)
+        assert mask.shape == (40, 30)
+        assert set(np.unique(mask)) <= {0, 1, 2}
+
+    def test_spatial_rejected_for_artifacts_and_parser_accepts_flag(self, tmp_path):
+        from unet_implementations_tpu.cli import build_parser
+        from unet_implementations_tpu.recipes.common import predict_segmentation
+        from unet_implementations_tpu.serving.export import ARTIFACT_FORWARD
+
+        args = build_parser().parse_args(
+            ["predict", "--model_path", "m", "--input", "i", "--spatial", "4"])
+        assert args.spatial == 4
+
+        art = tmp_path / "art"
+        art.mkdir()
+        (art / ARTIFACT_FORWARD).write_bytes(b"")
+        with pytest.raises(ValueError, match="spatial"):
+            predict_segmentation(art, tmp_path, tmp_path / "o",
+                                 spatial=2, verbose=False)

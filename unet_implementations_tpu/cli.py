@@ -252,6 +252,9 @@ def build_parser() -> argparse.ArgumentParser:
     pred.add_argument("--batch_size", type=int, default=32)
     pred.add_argument("--no_overlay", action="store_true")
     pred.add_argument("--f32", action="store_true")
+    pred.add_argument("--spatial", type=int, default=0,
+                      help="shard image rows over this many devices on a "
+                           "(data, space) mesh — batch-1 latency scaling")
     return parser
 
 
@@ -398,7 +401,7 @@ def main(argv=None):
         predict_segmentation(
             args.model_path, args.input, args.output_dir,
             batch_size=args.batch_size, dtype=_dtype(args),
-            overlay=not args.no_overlay,
+            overlay=not args.no_overlay, spatial=args.spatial,
         )
         return
 

@@ -230,6 +230,7 @@ def predict_segmentation(
     batch_size: int = 32,
     dtype=None,
     overlay: bool = True,
+    spatial: int = 0,
     verbose: bool = True,
 ) -> int:
     """Run the plain 6-stage UNet on an image file or directory of images.
@@ -244,6 +245,11 @@ def predict_segmentation(
     ``model_path`` may be a training checkpoint OR an AOT serving artifact
     from ``cli export`` (auto-detected); the artifact path replays the
     exported StableHLO module without building the model.
+
+    ``spatial`` > 1 runs the forward spatially partitioned: image rows
+    shard over ``spatial`` devices on a 2-D (data, space) mesh
+    (``parallel/spatial.py``) — batch-1 latency then scales with chip
+    count. Checkpoint path only (an AOT artifact bakes its shardings).
     """
     import cv2
     import jax.numpy as jnp
@@ -270,6 +276,11 @@ def predict_segmentation(
         # no model construction, no tracing. It fixes dtype and image size.
         from unet_implementations_tpu.serving import load_exported
 
+        if spatial > 1:
+            raise ValueError(
+                "--spatial applies to training checkpoints; an AOT artifact "
+                "replays its exported shardings"
+            )
         served = load_exported(model_path)
         dtype = jnp.dtype(served.meta["input_dtype"])
         if served.meta["img_size"] != 512:
@@ -286,10 +297,42 @@ def predict_segmentation(
         abstract = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))["params"]
         params = restore_params(model_path, abstract)
 
-        @inference_jit
-        def forward(images):
-            logits = model.apply({"params": params}, images, deterministic=True)
-            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        if spatial > 1:
+            from unet_implementations_tpu.parallel import (
+                create_mesh_dp_sp,
+                replicate,
+                shard_batch_spatial,
+            )
+
+            if jax.device_count() < spatial:
+                raise ValueError(
+                    f"--spatial {spatial} needs >= {spatial} devices, "
+                    f"have {jax.device_count()}"
+                )
+            mesh = create_mesh_dp_sp(spatial)
+            params = replicate(params, mesh)
+
+            # Shardings are inferred from the committed inputs:
+            # shard_batch_spatial lays (batch, rows) on (data, space) and
+            # falls back to replication on an indivisible axis (e.g. a
+            # single image on a multi-row data axis), so any batch works.
+            @jax.jit
+            def _fwd(p, images):
+                logits = model.apply({"params": p}, images, deterministic=True)
+                return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+            def forward(images):
+                images = shard_batch_spatial({"x": images}, mesh)["x"]
+                return _fwd(params, images)
+
+        else:
+
+            @inference_jit
+            def forward(images):
+                logits = model.apply(
+                    {"params": params}, images, deterministic=True
+                )
+                return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     n = 0
     for start in range(0, len(files), batch_size):
