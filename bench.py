@@ -52,6 +52,19 @@ def init_devices_or_bail(timeout_s: float = 300.0):
         "error", f"backend init timed out after {timeout_s:.0f}s (tunnel outage)"
     )
     log(f"TPU backend unavailable: {why}")
+    last = {}
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_baseline.json")) as f:
+            base = json.load(f)
+        last = {
+            "last_measured_inference": base.get("value"),
+            "last_measured_train":
+                base.get("secondary", {}).get(
+                    "train_step_images_per_sec_per_chip"),
+        }
+    except Exception:
+        pass
     print(json.dumps({
         "metric": "unet6_512px_bf16_inference_throughput",
         "value": 0.0,
@@ -59,6 +72,7 @@ def init_devices_or_bail(timeout_s: float = 300.0):
         "vs_baseline": 0.0,
         "error": f"not measured — {why}; last committed on-hardware "
                  "measurement is in BENCH_baseline.json",
+        **last,
     }), flush=True)
     os._exit(1)  # daemon thread may be stuck in C — skip interpreter teardown
 

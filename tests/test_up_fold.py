@@ -14,6 +14,7 @@ import numpy as np
 import pytest
 
 from unet_implementations_tpu.models.s2d import (
+    conv_dense_up_fold,
     conv_s2d_multi,
     conv_s2d_multi_up_fold,
     conv_up_fold,
@@ -72,6 +73,93 @@ class TestConvUpFold:
         gx_fold = jax.grad(lambda x: jnp.sum(conv_up_fold(x, k) ** 2))(x)
         np.testing.assert_allclose(np.asarray(gx_fold), np.asarray(gx_ref),
                                    atol=2e-4, rtol=1e-3)
+
+
+def _dense_composite(x, skip, k, bias):
+    """Reference: materialized upsample + conv over the channel concat."""
+    from unet_implementations_tpu.ops.resize import upsample2x_nhwc
+
+    up = upsample2x_nhwc(x)
+    cat = jnp.concatenate([up, skip], axis=-1)
+    y = jax.lax.conv_general_dilated(
+        cat, k, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + bias
+
+
+class TestConvDenseUpFold:
+    @pytest.mark.parametrize("shape", [(2, 8, 8, 8, 16, 4), (1, 3, 5, 4, 4, 8),
+                                       (2, 16, 8, 8, 8, 8), (1, 6, 6, 3, 5, 2)])
+    def test_matches_composite(self, shape):
+        b, h, w, cin, cskip, cout = shape
+        rng = np.random.default_rng(h * w + cin)
+        x = jnp.asarray(rng.standard_normal((b, h, w, cin)), jnp.float32)
+        skip = jnp.asarray(rng.standard_normal((b, 2 * h, 2 * w, cskip)),
+                           jnp.float32)
+        k = jnp.asarray(rng.standard_normal((3, 3, cin + cskip, cout)) * 0.1,
+                        jnp.float32)
+        bias = jnp.asarray(rng.standard_normal((cout,)), jnp.float32)
+        ref = _dense_composite(x, skip, k, bias)
+        got = conv_dense_up_fold(x, [skip], k, bias)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-4)
+
+    def test_gradients_match(self):
+        rng = np.random.default_rng(11)
+        x = jnp.asarray(rng.standard_normal((1, 6, 6, 4)), jnp.float32)
+        skip = jnp.asarray(rng.standard_normal((1, 12, 12, 3)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((3, 3, 7, 4)) * 0.1, jnp.float32)
+        bias = jnp.zeros((4,), jnp.float32)
+
+        def loss_ref(k, x):
+            return jnp.sum(_dense_composite(x, skip, k, bias) ** 2)
+
+        def loss_fold(k, x):
+            return jnp.sum(conv_dense_up_fold(x, [skip], k, bias) ** 2)
+
+        for arg in (0, 1):
+            g_ref = jax.grad(loss_ref, argnums=arg)(k, x)
+            g_fold = jax.grad(loss_fold, argnums=arg)(k, x)
+            np.testing.assert_allclose(np.asarray(g_fold), np.asarray(g_ref),
+                                       atol=2e-4, rtol=1e-3)
+
+    def test_dense_upblock_fold_on_off(self, monkeypatch):
+        # Module level: a dense UpBlock (s2d=False) must produce the same
+        # output with the fold on and off, with the same param tree.
+        from unet_implementations_tpu.models.blocks import UpBlock
+
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.standard_normal((2, 8, 8, 12)), jnp.float32)
+        skip = jnp.asarray(rng.standard_normal((2, 16, 16, 6)), jnp.float32)
+        m = UpBlock(features=8, dtype=jnp.float32)
+        monkeypatch.setenv("UNET_TPU_S2D_UP_FOLD", "0")
+        p = m.init(jax.random.key(0), x, skip)["params"]
+        y_off = m.apply({"params": p}, x, skip)
+        monkeypatch.setenv("UNET_TPU_S2D_UP_FOLD", "1")
+        p_on = m.init(jax.random.key(0), x, skip)["params"]
+        assert jax.tree.map(lambda a: a.shape, p) == jax.tree.map(
+            lambda a: a.shape, p_on)
+        y_on = m.apply({"params": p}, x, skip)
+        np.testing.assert_allclose(np.asarray(y_on), np.asarray(y_off),
+                                   atol=5e-5, rtol=1e-4)
+
+    def test_small_coarse_grid_falls_back(self, monkeypatch):
+        # < 3 coarse rows/cols can't run the border-strip recompute; the
+        # UpBlock must silently use the live path (and stay exact).
+        from unet_implementations_tpu.models.blocks import UpBlock
+
+        rng = np.random.default_rng(9)
+        x = jnp.asarray(rng.standard_normal((1, 2, 2, 4)), jnp.float32)
+        skip = jnp.asarray(rng.standard_normal((1, 4, 4, 4)), jnp.float32)
+        m = UpBlock(features=4, dtype=jnp.float32)
+        monkeypatch.setenv("UNET_TPU_S2D_UP_FOLD", "1")
+        p = m.init(jax.random.key(0), x, skip)["params"]
+        y_on = m.apply({"params": p}, x, skip)
+        monkeypatch.setenv("UNET_TPU_S2D_UP_FOLD", "0")
+        y_off = m.apply({"params": p}, x, skip)
+        np.testing.assert_allclose(np.asarray(y_on), np.asarray(y_off),
+                                   atol=1e-6, rtol=1e-6)
 
 
 class TestModelFold:

@@ -102,6 +102,10 @@ class ConvOp(nn.Module):
     # bilinear upsample is folded into its kernel (models/s2d.py::
     # conv_up_fold) instead of being materialized.
     s2d_up_fold: bool = False
+    # Dense-level variant of the same fold: segment 0 is pre-upsample, the
+    # conv output stays DENSE at the fine grid (models/s2d.py::
+    # conv_dense_up_fold). Requires k=3 and exact-2x geometry.
+    dense_up_fold: bool = False
 
     @nn.compact
     def __call__(self, x) -> jax.Array:
@@ -143,6 +147,17 @@ class ConvOp(nn.Module):
                     self.s2d_segments,
                 )
             assert self.stride == 1, "segmented input supports stride-1 only"
+            if self.dense_up_fold:
+                from unet_implementations_tpu.models.s2d import (
+                    conv_dense_up_fold,
+                )
+
+                assert k == 3, "dense up-fold requires a 3x3 kernel"
+                return conv_dense_up_fold(
+                    x[0].astype(self.dtype),
+                    [xi.astype(self.dtype) for xi in x[1:]],
+                    kernel.astype(self.dtype), bias.astype(self.dtype),
+                )
             pad = k // 2
             y, base = None, 0
             for xi in x:
@@ -206,6 +221,9 @@ class ConvBlock(nn.Module):
     # conv_0's segment 0 is pre-upsample dense; fold the 2x upsample into
     # its kernel (see ConvOp.s2d_up_fold).
     s2d_up_fold_first: bool = False
+    # Dense-level fold: conv_0's segment 0 is pre-upsample, output dense at
+    # the fine grid (see ConvOp.dense_up_fold).
+    dense_up_fold_first: bool = False
     # Pallas-fused InstanceNorm+LeakyReLU (kernels/instance_norm.py). OFF by
     # default: measured end-to-end it LOSES to XLA (99.9ms → 139.8ms @512²
     # b32) because the custom call breaks producer/consumer fusion with the
@@ -226,6 +244,7 @@ class ConvBlock(nn.Module):
                 s2d_input=self.s2d_input_first and i == 0,
                 s2d_segments=self.s2d_segments_first if i == 0 else None,
                 s2d_up_fold=self.s2d_up_fold_first and i == 0,
+                dense_up_fold=self.dense_up_fold_first and i == 0,
                 name=f"conv_{i}",
             )(x)
             x = InstanceNorm(
@@ -282,6 +301,7 @@ class UpBlock(nn.Module):
 
         segments = None
         up_fold = False
+        dense_fold = False
         if self.s2d:
             from unet_implementations_tpu.models.s2d import up_fold_enabled
 
@@ -306,13 +326,27 @@ class UpBlock(nn.Module):
         else:
             if x.shape[1:3] != skip.shape[1:3]:
                 if (skip.shape[1], skip.shape[2]) == (2 * x.shape[1], 2 * x.shape[2]):
-                    # One-pass Pallas kernel on TPU (kernels/upsample.py),
-                    # identical values; jnp fused path elsewhere.
-                    from unet_implementations_tpu.kernels.upsample import (
-                        upsample2x_nhwc_fast,
+                    from unet_implementations_tpu.models.s2d import (
+                        dense_up_fold_enabled,
                     )
 
-                    x = upsample2x_nhwc_fast(x)
+                    # Fold the upsample into conv_0 (models/s2d.py::
+                    # conv_dense_up_fold) — no lerp machinery, MAC-neutral.
+                    # The border-strip recompute needs ≥ 3 coarse rows/cols.
+                    dense_fold = (
+                        dense_up_fold_enabled()
+                        and self.kernel_size == 3
+                        and x.shape[1] >= 3
+                        and x.shape[2] >= 3
+                    )
+                    if not dense_fold:
+                        # One-pass Pallas kernel on TPU (kernels/upsample.py),
+                        # identical values; jnp fused path elsewhere.
+                        from unet_implementations_tpu.kernels.upsample import (
+                            upsample2x_nhwc_fast,
+                        )
+
+                        x = upsample2x_nhwc_fast(x)
                 else:
                     x = resize_bilinear(x, skip.shape[1:3], spatial_axes=(1, 2))
             # Logical concat passed unmerged — the first conv splits over the
@@ -328,5 +362,6 @@ class UpBlock(nn.Module):
             s2d=self.s2d,
             s2d_segments_first=segments,
             s2d_up_fold_first=up_fold,
+            dense_up_fold_first=dense_fold,
             name="conv_block",
         )(x, deterministic=deterministic)

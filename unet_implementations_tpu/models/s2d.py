@@ -373,6 +373,54 @@ def conv_s2d_multi_up_fold(
     return y + s2d_bias(bias).astype(y.dtype)
 
 
+def dense_up_fold_enabled() -> bool:
+    """Policy for the DENSE-level upsample fold (``conv_dense_up_fold``).
+    Follows ``up_fold_enabled`` unless overridden independently with
+    ``UNET_TPU_DENSE_UP_FOLD=0|1`` (kept separate so the two folds can be
+    ablated in isolation on hardware)."""
+    import os
+
+    v = os.environ.get("UNET_TPU_DENSE_UP_FOLD")
+    if v is not None:
+        return v not in ("0", "false", "")
+    return up_fold_enabled()
+
+
+def conv_dense_up_fold(
+    x_pre_up: jax.Array,
+    rest: Sequence[jax.Array],
+    kernel: jax.Array,
+    bias: jax.Array,
+) -> jax.Array:
+    """DENSE-level decoder conv with the 2x upsample folded away.
+
+    Computes ``conv(concat([upsample2x_nhwc(x_pre_up), *rest]), kernel)`` on
+    the fine grid without materializing the upsampled tensor: segment 0 is
+    evaluated in s2d layout on the COARSE grid via ``conv_up_fold`` (exact
+    incl. borders, MAC-neutral: coarse·9·Cin·4Cout == fine·9·Cin·Cout) and
+    depth-to-space'd once; the remaining segments (the skip, already at fine
+    resolution) use plain dense convs. Replaces the per-axis lerp+interleave
+    HBM machinery of the dense decoder levels with one d2s transpose of the
+    conv OUTPUT (≤ the upsampled tensor it replaces, since Cout ≤ Cin at
+    every decoder level). Rounding: combined-kernel instead of per-lerp, the
+    same ~1e-6 f32 delta as ``conv_s2d_multi_up_fold``.
+    """
+    c0 = x_pre_up.shape[-1]
+    y = depth_to_space(conv_up_fold(x_pre_up, kernel[:, :, :c0, :]))
+    base = c0
+    pad = kernel.shape[0] // 2
+    for xi in rest:
+        cs = xi.shape[-1]
+        yi = jax.lax.conv_general_dilated(
+            xi, kernel[:, :, base:base + cs, :], (1, 1),
+            [(pad, pad), (pad, pad)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        y = y + yi
+        base += cs
+    return y + bias.astype(y.dtype)
+
+
 def upsample2x_into_s2d(x: jax.Array) -> jax.Array:
     """Exact 2x bilinear upsample emitted directly in s2d layout.
 
