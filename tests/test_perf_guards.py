@@ -90,3 +90,70 @@ class TestDecoderConcatNeverMaterialized:
             if pat.search(f"x{s}x")
         ]
         assert hits == [], f"decoder concat materialized: {hits}"
+
+
+@pytest.fixture(scope="module")
+def lowered_fold_texts():
+    """Lowered texts with BOTH upsample folds forced on — the TPU inference
+    configuration (on CPU the folds default off, so the other fixture
+    exercises the live path)."""
+    import os
+
+    saved = {k: os.environ.get(k)
+             for k in ("UNET_TPU_S2D_UP_FOLD", "UNET_TPU_DENSE_UP_FOLD")}
+    os.environ["UNET_TPU_S2D_UP_FOLD"] = "1"
+    os.environ["UNET_TPU_DENSE_UP_FOLD"] = "1"
+    try:
+        model = unet_6stage(dtype=jnp.bfloat16)
+        x = jnp.zeros((2, 512, 512, 3), jnp.bfloat16)
+        shapes = jax.eval_shape(
+            lambda: model.init(jax.random.key(0), x))["params"]
+        params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+        fwd = jax.jit(
+            lambda p, x: model.apply({"params": p}, x, deterministic=True)
+        ).lower(params, x).as_text()
+
+        def loss_fn(p, x):
+            out = model.apply({"params": p}, x, deterministic=True)
+            return jnp.sum(out.astype(jnp.float32))
+
+        bwd = jax.jit(jax.grad(loss_fn)).lower(params, x).as_text()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+    return fwd, bwd
+
+
+class TestDenseUpFoldActive:
+    """The round-2 dense-level fold (models/s2d.py::conv_dense_up_fold,
+    632-img/s configuration): at 512² the dense decoders' up segments must
+    run as coarse-grid convs emitting q-major 4·Cout outputs, and the
+    materialized fine-grid upsampled tensors must be gone."""
+
+    # Fold interior convs: d0 x@16² 512→2048, d1 x@32² 512→1024 (the d2
+    # fold conv 2x64x64x512 collides with the d1 live up-tensor shape, so
+    # only these two are discriminating).
+    FOLD_CONVS = ["2x16x16x2048x", "2x32x32x1024x"]
+    # The live path's per-axis interleave intermediates (H doubled, W not)
+    # — the only square-model tensors with asymmetric spatial dims, present
+    # IFF an upsample materializes (verified on/off at head time):
+    # d0 (2,32,16,512), d1 (2,64,32,512), d2 (2,128,64,256).
+    HALF_INTERLEAVED = ["tensor<2x32x16x512x", "tensor<2x64x32x512x",
+                        "tensor<2x128x64x256x"]
+
+    def test_fold_convs_present_forward(self, lowered_fold_texts):
+        fwd, _ = lowered_fold_texts
+        outs = _conv_out_shapes(fwd)
+        for want in self.FOLD_CONVS:
+            assert any(s.startswith(want) for s in outs), (
+                f"fold conv {want} missing; conv outs: {sorted(set(outs))}")
+
+    @pytest.mark.parametrize("which", [0, 1], ids=["forward", "backward"])
+    def test_no_materialized_upsample(self, lowered_fold_texts, which):
+        txt = lowered_fold_texts[which]
+        hits = [s for s in self.HALF_INTERLEAVED if s in txt]
+        assert hits == [], (
+            f"dense-level upsample rematerialized (interleave shapes {hits})")
