@@ -6,8 +6,34 @@ sharded batches, replicated params/state).
 """
 
 import json
+import os
+import subprocess
+import sys
 
 import pytest
+
+
+def test_bench_outage_bail():
+    """During a TPU-tunnel outage the watchdog must print ONE honest
+    zero-valued JSON line carrying the last committed on-hardware numbers
+    (so a driver-recorded outage is distinguishable from a regression),
+    and exit non-zero."""
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["BENCH_INIT_TIMEOUT_S"] = "0.0001"  # guarantees the watchdog fires
+    r = subprocess.run(
+        [sys.executable, "bench.py"], cwd=os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))),
+        capture_output=True, text=True, timeout=300, env=env)
+    assert r.returncode == 1
+    lines = r.stdout.strip().splitlines()
+    assert len(lines) == 1, lines
+    payload = json.loads(lines[0])
+    assert payload["value"] == 0.0
+    assert "not measured" in payload["error"]
+    assert payload["last_measured_inference"] > 0
+    assert payload["last_measured_train"] > 0
 
 
 @pytest.mark.slow
