@@ -10,6 +10,7 @@ baseline ~54 img/s, BASELINE.md) is reported on stderr as a secondary metric.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -234,6 +235,9 @@ if __name__ == "__main__":
     measured = main()
     if "--assert-baseline" in sys.argv:
         idx = sys.argv.index("--assert-baseline")
+        # Default resolves against the script dir (not CWD), matching
+        # init_devices_or_bail's resolution of the same file.
         path = (sys.argv[idx + 1] if idx + 1 < len(sys.argv)
-                else "BENCH_baseline.json")
+                else os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  "BENCH_baseline.json"))
         assert_baseline(measured, path)

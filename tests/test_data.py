@@ -233,6 +233,24 @@ class TestLoader:
         assert names0 | names1 == {f"img_{i}.jpg" for i in range(5)}
         assert len(names0 & names1) <= 1  # only the wrap-pad duplicate
 
+    def test_multihost_sharding_fewer_files_than_hosts(self, tmp_path):
+        # Wrap-pad must be MODULAR: 2 files / 5 hosts pads by repeating the
+        # list (not files[:pad], which is short) so every host still gets a
+        # non-empty, equal shard and no host deadlocks with zero batches.
+        root = tmp_path / "Train" / "resized"
+        root.mkdir(parents=True)
+        for i in range(2):
+            cv2.imwrite(str(root / f"img_{i}.jpg"),
+                        np.zeros((8, 8, 3), np.uint8))
+        shards = [
+            PetDataset(root, None, mode="reconstruction",
+                       process_index=p, process_count=5).image_files
+            for p in range(5)
+        ]
+        assert all(len(s) == 1 for s in shards)
+        names = {f.name for s in shards for f in s}
+        assert names == {"img_0.jpg", "img_1.jpg"}
+
     def test_blank_fallback_on_missing_mask(self, tmp_path):
         self._make_processed(tmp_path / "Train", with_aug=False)
         import os
@@ -324,3 +342,42 @@ class TestEvalProtocol:
                                         mesh=create_mesh(), verbose=False)
         for k in ("pixel_accuracy", "mean_iou", "mean_foreground_dice"):
             assert serial[k] == pytest.approx(sharded[k], abs=1e-9), k
+
+    def test_probs_fn_called_only_for_visualized_batches(self, tmp_path):
+        # probs_fn is a SECOND full model forward (softmax probabilities for
+        # confidence maps). It must run only for the batches that will render
+        # — never once per batch when visualize_samples == 0.
+        from unet_implementations_tpu.recipes.common import evaluate_segmentation
+
+        root = tmp_path / "Test"
+        rng = np.random.default_rng(11)
+        (root / "resized").mkdir(parents=True)
+        (root / "processed_labels").mkdir(parents=True)
+        for i in range(6):  # batch 2 -> 3 batches
+            img = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+            cv2.imwrite(str(root / "resized" / f"img_{i}.jpg"), img)
+            m = rng.integers(0, 3, (64, 64)).astype(np.uint8)
+            Image.fromarray(m).save(root / "processed_labels" / f"img_{i}.png")
+        ds = PetDataset(root / "resized", root / "processed_labels",
+                        include_augmented=False, target_size=(64, 64))
+
+        calls = []
+
+        def probs_fn(batch):
+            calls.append(1)
+            b = batch["image"].shape[0]
+            return np.full((b, 64, 64, 3), 1 / 3, np.float32)
+
+        def predict_fn(batch):
+            return np.asarray(batch["mask"])
+
+        evaluate_segmentation(predict_fn, ds, batch_size=2, verbose=False,
+                              output_dir=tmp_path / "o0",
+                              visualize_samples=0, probs_fn=probs_fn)
+        assert calls == []
+        evaluate_segmentation(predict_fn, ds, batch_size=2, verbose=False,
+                              output_dir=tmp_path / "o1",
+                              visualize_samples=1, probs_fn=probs_fn)
+        assert len(calls) == 1
+        assert (tmp_path / "o1" / "visualizations"
+                / "confidence_batch0.png").exists()

@@ -54,6 +54,9 @@ class TestExportRoundtrip:
         out = served.predict(x)
         assert out.shape == ref.shape
         np.testing.assert_allclose(out, np.asarray(ref), rtol=1e-4, atol=1e-4)
+        # An empty batch is a caller error, not an IndexError from outs[0].
+        with pytest.raises(ValueError, match="empty batch"):
+            served.predict(x[:0])
 
     def test_multiplatform_lowering_without_tpu(self, tmp_path):
         """tpu+cpu lowerings bake into one module on a CPU-only host."""

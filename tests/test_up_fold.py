@@ -161,6 +161,32 @@ class TestConvDenseUpFold:
         np.testing.assert_allclose(np.asarray(y_on), np.asarray(y_off),
                                    atol=1e-6, rtol=1e-6)
 
+    def test_s2d_small_coarse_grid_falls_back(self, monkeypatch):
+        # Same guard for the s2d UpBlock branch: a 2x2 coarse grid cannot
+        # run conv_up_fold's 3-row border-strip recompute; with the fold
+        # forced on, the block must use the live upsample path and stay
+        # exact vs fold-off.
+        from unet_implementations_tpu.models.blocks import UpBlock
+
+        rng = np.random.default_rng(13)
+        x = jnp.asarray(rng.standard_normal((1, 2, 2, 8)), jnp.float32)
+        skip = jnp.asarray(rng.standard_normal((1, 2, 2, 16)), jnp.float32)
+        m = UpBlock(features=4, dtype=jnp.float32, s2d=True)
+        monkeypatch.setenv("UNET_TPU_S2D_UP_FOLD", "1")
+        p = m.init(jax.random.key(1), x, skip)["params"]
+        y_on = m.apply({"params": p}, x, skip)
+        monkeypatch.setenv("UNET_TPU_S2D_UP_FOLD", "0")
+        y_off = m.apply({"params": p}, x, skip)
+        np.testing.assert_allclose(np.asarray(y_on), np.asarray(y_off),
+                                   atol=1e-6, rtol=1e-6)
+
+    def test_conv_up_fold_rejects_tiny_grids(self):
+        # Misuse fails loudly instead of silently clamping the border strips.
+        x = jnp.zeros((1, 2, 2, 4), jnp.float32)
+        k = jnp.zeros((3, 3, 4, 4), jnp.float32)
+        with pytest.raises(ValueError, match=">=3x3 coarse grid"):
+            conv_up_fold(x, k)
+
 
 class TestModelFold:
     def test_unet_fold_on_off(self, monkeypatch):

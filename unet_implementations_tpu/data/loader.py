@@ -83,7 +83,10 @@ class PetDataset:
                 # and no file is dropped from every epoch (a trailing
                 # remainder would otherwise never be seen by any host).
                 pad = process_count - len(files) % process_count
-                files = files + files[:pad]
+                # Wrap modularly: files[:pad] falls short when
+                # len(files) < pad (e.g. 1 file / 3 hosts), which would
+                # leave every host with an empty shard.
+                files = files + [files[i % len(files)] for i in range(pad)]
             per_host = len(files) // process_count
             start = process_index * per_host
             self.image_files = files[start:start + per_host]

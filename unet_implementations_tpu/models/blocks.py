@@ -311,7 +311,9 @@ class UpBlock(nn.Module):
             # conv splits over the segments, so the model's largest tensor
             # (the decoder concat) is never materialized.
             segments = (x.shape[-1], skip.shape[-1] // 4)
-            up_fold = up_fold_enabled()
+            # conv_up_fold's border-strip recompute needs >= 3 coarse
+            # rows/cols (same guard as the dense branch below).
+            up_fold = up_fold_enabled() and x.shape[1] >= 3 and x.shape[2] >= 3
             if up_fold:
                 # The 2x upsample folds into the conv kernel entirely
                 # (models/s2d.py::conv_up_fold) — pass x pre-upsample.

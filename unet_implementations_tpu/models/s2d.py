@@ -309,6 +309,12 @@ def conv_up_fold(x: jax.Array, kernel: jax.Array) -> jax.Array:
     3-row/3-col strips and written back — exact.
     """
     b, h, w, cin = x.shape
+    if h < 3 or w < 3:
+        raise ValueError(
+            f"conv_up_fold needs a >=3x3 coarse grid for its border-strip "
+            f"recompute (got {h}x{w}); callers must fall back to the "
+            f"reference upsample path below that."
+        )
     kf = fold_up_kernel(kernel)
     y = jax.lax.conv_general_dilated(
         x, kf, (1, 1), [(1, 1), (1, 1)],

@@ -130,7 +130,7 @@ def evaluate_segmentation(
 
     metrics = SegmentationMetrics(num_classes=3, ignore_index=255)
 
-    def dispatch(batch):
+    def dispatch(idx, batch):
         fed = batch
         if mesh is not None:
             from unet_implementations_tpu.parallel import shard_batch
@@ -139,7 +139,12 @@ def evaluate_segmentation(
                       if k in ("image", "clip_features", "clip_image")}
             fed = dict(batch, **shard_batch(arrays, mesh))
         preds = predict_fn(fed)  # async dispatch; fetch deferred
-        probs = probs_fn(fed) if probs_fn is not None else None
+        # Second forward (softmax probs) only for batches that will actually
+        # render confidence maps — process() consumes probs only then.
+        want_probs = (
+            probs_fn is not None and viz_dir is not None and idx < visualize_samples
+        )
+        probs = probs_fn(fed) if want_probs else None
         return batch, preds, probs
 
     def process(i, batch, preds, probs):
@@ -170,9 +175,11 @@ def evaluate_segmentation(
 
     pending = deque()
     done = 0
+    dispatched = 0
     for batch in batch_iterator(dataset, batch_size, shuffle=False,
                                 num_threads=num_threads):
-        pending.append(dispatch(batch))
+        pending.append(dispatch(dispatched, batch))
+        dispatched += 1
         if len(pending) > 2:  # bounded run-ahead
             process(done, *pending.popleft())
             done += 1

@@ -171,6 +171,8 @@ class ServingModel:
         """Forward arbitrary-batch inputs through the static-batch module."""
         image = jnp.asarray(image)
         n, bs = image.shape[0], self.batch_size
+        if n == 0:
+            raise ValueError("predict() called with an empty batch")
         outs = []
         for lo in range(0, n, bs):
             chunk = image[lo : lo + bs]
