@@ -95,6 +95,11 @@ class TestParser:
              "--num_workers", "4", "--device", "cuda", "--amp",
              "--reduced_complexity"])
         assert args.num_workers == 4
+        # --reduced_complexity is an accepted no-op, like the reference
+        # (parsed, never consumed: Our_UNet/src/train.py:110 — the reduced
+        # widths are hard-coded there and here). docs/MIGRATION.md agrees.
+        assert args.reduced_complexity is True
+        assert not hasattr(args, "features_per_stage")
         args = build_parser().parse_args(
             ["clip_unet", "train", "--data_dir", "d", "--output_dir", "o",
              "--use_clip"])

@@ -150,6 +150,47 @@ class TestConversion:
         np.testing.assert_allclose(np.asarray(params["head"]["kernel"]),
                                    expected, rtol=1e-6)
 
+    def test_reverse_roundtrip_bitwise(self, tmp_path):
+        """torch → orbax → torch: the exported .pth reproduces the original
+        state dict BITWISE on every tensor, with the exact key set the
+        reference's strict load_state_dict requires."""
+        from unet_implementations_tpu.models.convert import (
+            convert_torch_checkpoint,
+            export_torch_checkpoint,
+        )
+        from unet_implementations_tpu.models.unet import (
+            DEFAULT_DEC_DROPOUT,
+            DEFAULT_ENC_DROPOUT,
+            DEFAULT_FEATURES,
+        )
+
+        g = torch.Generator().manual_seed(5)
+        sd = _fabricate_state_dict(
+            g, features=DEFAULT_FEATURES, enc_rates=DEFAULT_ENC_DROPOUT,
+            dec_rates=DEFAULT_DEC_DROPOUT,
+        )
+        torch.save({"model_state_dict": sd, "epoch": 3, "best_dice": 0.5},
+                   tmp_path / "ref.pth")
+        convert_torch_checkpoint(tmp_path / "ref.pth", tmp_path / "orbax")
+        export_torch_checkpoint(tmp_path / "orbax", tmp_path / "back.pth")
+
+        back = torch.load(tmp_path / "back.pth", weights_only=False)
+        assert back["epoch"] == 3
+        assert back["best_dice"] == 0.5
+        bsd = back["model_state_dict"]
+        assert set(bsd) == set(sd)
+        for k in sd:
+            np.testing.assert_array_equal(
+                bsd[k].numpy(), sd[k].numpy(), err_msg=k)
+
+    def test_export_torch_parser(self):
+        from unet_implementations_tpu.cli import build_parser
+
+        args = build_parser().parse_args(
+            ["export_torch", "--checkpoint", "c", "--output", "o.pth",
+             "--arch", "ae_recon"])
+        assert args.arch == "ae_recon"
+
     def test_reconstruction_head(self):
         g = torch.Generator().manual_seed(3)
         sd = _fabricate_state_dict(g, head="reconstruction")

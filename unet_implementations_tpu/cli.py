@@ -213,6 +213,18 @@ def build_parser() -> argparse.ArgumentParser:
                       choices=["our_unet", "clip_unet", "ae_recon",
                                "ae_transfer"])
 
+    conv_r = sub.add_parser(
+        "export_torch", help="convert an Orbax checkpoint back to a "
+                             "reference-loadable .pth (the inverse of "
+                             "convert: evaluate models trained here with "
+                             "the reference's own evaluate.py)")
+    conv_r.add_argument("--checkpoint", required=True,
+                        help="Orbax checkpoint directory")
+    conv_r.add_argument("--output", required=True, help=".pth file to write")
+    conv_r.add_argument("--arch", default="our_unet",
+                        choices=["our_unet", "clip_unet", "ae_recon",
+                                 "ae_transfer"])
+
     prof = sub.add_parser(
         "profile", help="compile a model step and print its per-fusion "
                         "analytic cost table (FLOPs, HBM bytes, roofline)")
@@ -317,6 +329,15 @@ def main(argv=None):
 
         convert_torch_checkpoint(args.torch_checkpoint, args.output, args.arch)
         print(f"converted {args.torch_checkpoint} -> {args.output}")
+        return
+
+    if args.recipe == "export_torch":
+        from unet_implementations_tpu.models.convert import (
+            export_torch_checkpoint,
+        )
+
+        export_torch_checkpoint(args.checkpoint, args.output, args.arch)
+        print(f"exported {args.checkpoint} -> {args.output}")
         return
 
     if args.recipe == "profile":

@@ -168,3 +168,131 @@ def convert_torch_checkpoint(
         best_metric=float(meta.get("best_dice", meta.get("best_loss", 0.0))),
         config={"converted_from": str(torch_path), "arch": arch},
     )
+
+
+def _conv_torch(kernel) -> np.ndarray:
+    """HWIO → torch Conv2d (out, in, kh, kw)."""
+    return np.ascontiguousarray(
+        np.transpose(np.asarray(kernel, np.float32), (3, 2, 0, 1))
+    )
+
+
+def params_to_torch_unet_state_dict(params: Dict, model: UNet) -> Dict:
+    """Inverse of ``torch_unet_state_dict_to_params``: our params tree →
+    the reference's torch state-dict key/layout scheme, as numpy arrays.
+
+    Emits EXACTLY the key set the reference model owns (its strict-mode
+    ``load_state_dict``, ``Our_UNet/src/evaluate.py:103-147``, rejects
+    missing or unexpected keys)."""
+    n = model.n_stages
+    sd: Dict[str, np.ndarray] = {}
+
+    def to_np(x):
+        return np.asarray(jax.device_get(x), np.float32)
+
+    def emit_block(prefix_t: str, tree: Dict, n_convs: int, dropout: float):
+        step = 4 if dropout > 0 else 3
+        for j in range(n_convs):
+            conv_idx, norm_idx = j * step, j * step + 1
+            sd[f"{prefix_t}.block.{conv_idx}.weight"] = _conv_torch(
+                tree[f"conv_{j}"]["kernel"])
+            sd[f"{prefix_t}.block.{conv_idx}.bias"] = to_np(
+                tree[f"conv_{j}"]["bias"])
+            sd[f"{prefix_t}.block.{norm_idx}.weight"] = to_np(
+                tree[f"norm_{j}"]["scale"])
+            sd[f"{prefix_t}.block.{norm_idx}.bias"] = to_np(
+                tree[f"norm_{j}"]["bias"])
+
+    for i in range(n):
+        emit_block(f"encoder_stages.{i}", params[f"encoder_{i}"],
+                   model.n_conv_per_stage, model.encoder_dropout_rates[i])
+    for d in range(n - 1):
+        emit_block(f"decoder_stages.{d}.conv_block",
+                   params[f"decoder_{d}"]["conv_block"],
+                   model.n_conv_per_stage_decoder,
+                   model.decoder_dropout_rates[d])
+
+    head_key = ("reconstruction_output.0"
+                if model.head == "reconstruction" else "segmentation_output")
+    sd[f"{head_key}.weight"] = _conv_torch(params["head"]["kernel"])
+    sd[f"{head_key}.bias"] = to_np(params["head"]["bias"])
+
+    if model.clip_fusion and "clip_fusion_conv" in params:
+        sd["clip_fusion_conv.0.weight"] = _conv_torch(
+            params["clip_fusion_conv"]["kernel"])
+        sd["clip_fusion_conv.0.bias"] = to_np(
+            params["clip_fusion_conv"]["bias"])
+        sd["clip_fusion_conv.1.weight"] = to_np(
+            params["clip_fusion_norm"]["scale"])
+        sd["clip_fusion_conv.1.bias"] = to_np(
+            params["clip_fusion_norm"]["bias"])
+    return sd
+
+
+def export_torch_checkpoint(
+    checkpoint_path,
+    output_path,
+    arch: str = "our_unet",
+) -> None:
+    """Orbax checkpoint directory → reference-loadable ``.pth``.
+
+    The inverse of ``convert_torch_checkpoint``: a model trained HERE can be
+    evaluated with the reference's own ``evaluate.py`` (its ``load_model``
+    accepts either a bare state dict or a full checkpoint dict and reads
+    ``model_state_dict`` — ``Our_UNet/src/evaluate.py:135-141``). Writes the
+    reference trainer's checkpoint schema (``Our_UNet/src/train.py:709-714``:
+    epoch / model_state_dict / best_dice) minus the torch-specific
+    optimizer/scheduler states, which its load path never reads.
+    """
+    import json
+
+    import jax.numpy as jnp
+    import torch
+
+    from unet_implementations_tpu.models.unet import (
+        autoencoder_6stage,
+        unet_6stage,
+    )
+    from unet_implementations_tpu.training.checkpoint import (
+        META_FILE,
+        restore_params,
+    )
+
+    if arch in ("our_unet", "ae_transfer"):
+        model = unet_6stage()
+    elif arch == "ae_recon":
+        model = autoencoder_6stage()
+    elif arch == "clip_unet":
+        model = UNet(clip_fusion=True)
+    else:
+        raise ValueError(f"unknown arch {arch!r}")
+
+    from pathlib import Path
+
+    checkpoint_path = Path(checkpoint_path)
+    kwargs = (
+        {"clip_features": jnp.zeros((1, model.clip_dim))}
+        if model.clip_fusion else {}
+    )
+    abstract = model.init(
+        jax.random.key(0), jnp.zeros((1, 64, 64, 3)), **kwargs
+    )["params"]
+    params = restore_params(checkpoint_path, abstract)
+    sd = {
+        k: torch.from_numpy(v)
+        for k, v in params_to_torch_unet_state_dict(params, model).items()
+    }
+
+    meta = {}
+    meta_file = checkpoint_path / META_FILE
+    if meta_file.exists():
+        meta = json.loads(meta_file.read_text())
+    torch.save(
+        {
+            "epoch": int(meta.get("epoch", 0)),
+            "model_state_dict": sd,
+            "best_dice": float(meta.get("best_metric", 0.0)),
+            "config": {"exported_from": str(checkpoint_path), "arch": arch},
+        },
+        str(output_path),
+    )
