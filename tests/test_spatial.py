@@ -104,6 +104,104 @@ class TestSpatialForward:
         assert float(jnp.max(jnp.abs(out - ref))) < TOL
 
 
+class TestSpatialTrain:
+    """Loss + gradients on the 2-D mesh. The backward pass is where SPMD
+    partitioners historically break (transposed halo collective-permutes,
+    InstanceNorm stat all-reduce transposes) — assert the full train step
+    reproduces the unsharded params, not just the forward.
+
+    Tolerance note: gradient parity is reassociation-bounded, not bitwise.
+    Inside the validity envelope (every level's H >= n_space) the measured
+    worst per-leaf grad delta on the 8-device CPU mesh is ~3e-3 (the
+    InstanceNorm backward's (x-mu) cancellations amplify reduction-order
+    differences); conv-bias grads are analytically ZERO through IN (a bias
+    is a per-channel shift, which IN removes), so their values are pure
+    cancellation noise in BOTH programs and only absolute deltas are
+    meaningful. Outside the envelope the backward is silently miscompiled
+    (see parallel/spatial.py) — the step refuses to run there, tested
+    below."""
+
+    GRAD_TOL = 1e-2  # on params after one SGD step (lr 5e-3, nesterov)
+
+    def _run_step(self, mesh, size):
+        from unet_implementations_tpu.parallel import (
+            replicate,
+            shard_batch_spatial,
+            spatial_train_step_jit,
+        )
+        from unet_implementations_tpu.training import (
+            create_train_state,
+            make_segmentation_train_step,
+            sgd_nesterov,
+        )
+
+        rng = np.random.default_rng(3)
+        batch = {
+            "image": jnp.asarray(
+                rng.normal(size=(2, size, size, 3)), jnp.float32),
+            "mask": jnp.asarray(
+                rng.integers(0, 3, (2, size, size)), jnp.int32),
+        }
+        model = unet_6stage(dtype=jnp.float32)
+        state = create_train_state(
+            model, jax.random.key(0), batch["image"][:1], sgd_nesterov())
+        key = jax.random.key(7)
+
+        ref_step = make_segmentation_train_step(donate=False)
+        ref_state, ref_loss = ref_step(state, batch, key)
+
+        sp_step = spatial_train_step_jit(mesh)
+        sp_state, sp_loss = sp_step(
+            replicate(state, mesh), shard_batch_spatial(batch, mesh), key)
+        return ref_state, ref_loss, sp_state, sp_loss
+
+    def _assert_parity(self, ref_state, ref_loss, sp_state, sp_loss):
+        # Loss is O(1-4); measured sharded-vs-not deltas are ~1e-5 (f32
+        # reassociation over thousands of reduction terms).
+        assert float(jnp.abs(sp_loss - ref_loss)) < 1e-4
+        diffs = jax.tree.map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))),
+            ref_state.params, sp_state.params)
+        worst = max(jax.tree.leaves(diffs))
+        assert worst < self.GRAD_TOL, f"worst param delta {worst}"
+
+    def test_train_step_matches_unsharded_dp2_sp2(self, monkeypatch):
+        # TPU configuration: folded decoder upsample ON (the fold's backward
+        # crosses shard borders through the strip recompute). 64px over
+        # space=2: bottleneck H=2 == n_space, the envelope edge.
+        monkeypatch.setenv("UNET_TPU_S2D_UP_FOLD", "1")
+        mesh = create_mesh_dp_sp(2, n_data=2)
+        ref_state, ref_loss, sp_state, sp_loss = self._run_step(mesh, 64)
+        self._assert_parity(ref_state, ref_loss, sp_state, sp_loss)
+        # Outputs replicated: params ready for the next (or an unsharded)
+        # step without resharding.
+        assert all(leaf.sharding.spec == P()
+                   for leaf in jax.tree.leaves(sp_state.params))
+        assert sp_loss.sharding.spec == P()
+
+    @pytest.mark.slow
+    def test_train_step_matches_space_only_sp4(self):
+        # Pure spatial sharding (n_data=1): every gradient contribution
+        # crosses the space axis; params must still come back identical.
+        mesh = create_mesh_dp_sp(4, n_data=1)
+        ref_state, ref_loss, sp_state, sp_loss = self._run_step(mesh, 128)
+        self._assert_parity(ref_state, ref_loss, sp_state, sp_loss)
+
+    def test_degenerate_sharding_refused(self):
+        # 32px over space=4 puts the deep levels below the shard count —
+        # the region where XLA silently miscompiles the backward (grads
+        # ~100% wrong, loss exact; measured jax 0.9.0). The step must
+        # refuse instead of returning wrong gradients.
+        from unet_implementations_tpu.parallel import spatial_train_step_jit
+
+        mesh = create_mesh_dp_sp(4, n_data=1)
+        step = spatial_train_step_jit(mesh)
+        batch = {"image": jnp.zeros((2, 32, 32, 3), jnp.float32),
+                 "mask": jnp.zeros((2, 32, 32), jnp.int32)}
+        with pytest.raises(ValueError, match="miscompiles the\n?.*backward|backward"):
+            step(None, batch, jax.random.key(0))
+
+
 class TestUpFoldPartitionSafety:
     def test_conv_up_fold_exact_on_2d_mesh(self):
         """Primitive-level guard for the symmetric-pad fix: conv_up_fold on
@@ -121,6 +219,48 @@ class TestUpFoldPartitionSafety:
             lambda x: conv_up_fold(x, k), in_shardings=(sh,), out_shardings=sh
         )(jax.device_put(x, sh))
         assert float(jnp.max(jnp.abs(out - ref))) < 1e-5
+
+
+class TestSpatialTrainRecipe:
+    @pytest.mark.slow
+    def test_our_unet_train_spatial(self, tmp_path):
+        """`our_unet train --spatial 2` runs the full loop (train epochs +
+        validation + checkpointing) on the 2-D mesh end to end."""
+        import cv2
+        from PIL import Image
+
+        from unet_implementations_tpu.recipes import our_unet
+
+        root = tmp_path / "data"
+        rng = np.random.default_rng(0)
+        for split, n in (("Train", 8), ("Val", 4)):
+            (root / split / "resized").mkdir(parents=True)
+            lbl = root / split / ("resized_label" if split == "Train"
+                                  else "processed_labels")
+            lbl.mkdir(parents=True)
+            for i in range(n):
+                img = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+                cv2.imwrite(str(root / split / "resized" / f"s_{i}.jpg"), img)
+                m = np.zeros((64, 64), np.uint8)
+                m[16:48, 16:48] = 1 + (i % 2)
+                Image.fromarray(m).save(lbl / f"s_{i}.png")
+
+        out = tmp_path / "out"
+        res = our_unet.train(
+            root, out, batch_size=4, epochs=1, save_every=1, spatial=2,
+            dtype=jnp.float32, verbose=False)
+        assert np.isfinite(res["best_metric"])
+        log = (out / "training_log.csv").read_text().splitlines()
+        assert len(log) == 2  # header + one epoch row
+        assert (out / "best_model").exists()
+
+    def test_spatial_train_parser(self):
+        from unet_implementations_tpu.cli import build_parser
+
+        args = build_parser().parse_args(
+            ["our_unet", "train", "--data_dir", "d", "--output_dir", "o",
+             "--spatial", "2"])
+        assert args.spatial == 2
 
 
 class TestSpatialPredict:

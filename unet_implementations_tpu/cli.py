@@ -112,6 +112,11 @@ def build_parser() -> argparse.ArgumentParser:
     t = our.add_parser("train")
     _add_common_train_flags(t)
     _add_seg_train_flags(t)
+    t.add_argument("--spatial", type=int, default=0,
+                   help="shard image ROWS over N devices during training "
+                        "(2-D data x space mesh: halo exchanges + two-axis "
+                        "grad reduction by XLA SPMD) — the beyond-HBM "
+                        "image-size configuration. Requires H/32 >= N")
     e = our.add_parser("evaluate")
     _add_eval_flags(e)
 
@@ -443,7 +448,8 @@ def main(argv=None):
 
         if args.cmd == "train":
             r.train(args.data_dir, args.output_dir,
-                    online_augment=args.online_augment, **_seg_train_kwargs(args))
+                    online_augment=args.online_augment, spatial=args.spatial,
+                    **_seg_train_kwargs(args))
         else:
             r.evaluate(args.model_path, args.data_dir, args.output_dir,
                        batch_size=args.batch_size, dtype=_dtype(args),

@@ -12,4 +12,5 @@ from unet_implementations_tpu.parallel.spatial import (  # noqa: F401
     shard_batch_spatial,
     spatial_forward_jit,
     spatial_sharding,
+    spatial_train_step_jit,
 )

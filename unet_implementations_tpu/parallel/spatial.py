@@ -27,11 +27,25 @@ Numerics are exact up to XLA reassociation (tested ≤2e-4 f32 vs the
 unsharded program, including the s2d levels and the folded decoder
 upsample — see ``tests/test_spatial.py``).
 
-One partitioner landmine is documented and designed around: convolutions
-with ASYMMETRIC spatial padding are miscompiled by XLA SPMD on a sharded
-dim under a 2-D mesh (max-abs error ~1.7 on the fold's border strips);
-``models/s2d.py::_up_contrib_strip`` therefore pads symmetrically and
-selects the wanted line — identical values, partition-safe.
+TWO partitioner landmines are documented and designed around:
+
+1. Convolutions with ASYMMETRIC spatial padding are miscompiled by XLA
+   SPMD on a sharded dim under a 2-D mesh (max-abs error ~1.7 on the
+   fold's border strips); ``models/s2d.py::_up_contrib_strip`` therefore
+   pads symmetrically and selects the wanted line — identical values,
+   partition-safe.
+2. The BACKWARD pass is miscompiled when a deep level's spatial extent
+   drops below the ``space`` axis size (measured on the 8-device CPU
+   mesh, jax 0.9.0: full-model grads at 32² over space=4 — bottleneck
+   H=1 — come out ~100% wrong on O(1) gradients while the forward and
+   the loss stay exact; at bottleneck H ≥ n_space the worst grad delta
+   falls to ≤3e-3, plain reassociation through the InstanceNorm
+   backward's cancellations). ``spatial_train_step_jit`` therefore
+   REFUSES degenerate configurations: image H/W must keep every level's
+   extent ≥ the space-axis size (H / min_spatial_factor ≥ n_space). Real
+   workloads sit far inside the envelope (512²/32 = 16 ≥ any practical
+   n_space); the guard exists so the silent-wrong-gradients region is
+   unreachable.
 """
 
 from __future__ import annotations
@@ -52,6 +66,7 @@ __all__ = [
     "spatial_sharding",
     "shard_batch_spatial",
     "spatial_forward_jit",
+    "spatial_train_step_jit",
 ]
 
 
@@ -69,6 +84,11 @@ def create_mesh_dp_sp(
         devices = jax.devices()
     if n_data is None:
         n_data = len(devices) // n_space
+    if n_space < 1 or n_data < 1:
+        raise ValueError(
+            f"need at least n_space={n_space} devices for spatial "
+            f"partitioning (have {len(devices)}; data={n_data})"
+        )
     need = n_data * n_space
     assert need <= len(devices), (n_data, n_space, len(devices))
     grid = np.asarray(devices[:need]).reshape(n_data, n_space)
@@ -123,3 +143,78 @@ def spatial_forward_jit(model, mesh: Mesh, **apply_kwargs):
     return jax.jit(
         forward, in_shardings=(rep, sh), out_shardings=sh
     )
+
+
+def spatial_train_step_jit(
+    mesh: Mesh,
+    *,
+    use_clip: bool = False,
+    donate: bool = False,
+    min_spatial_factor: int = 32,
+    **loss_kwargs,
+):
+    """Jit the segmentation TRAIN step with spatially-sharded batch I/O.
+
+    Returns ``step(state, batch, rng) -> (state, loss)`` where
+    ``batch["image"]`` / ``batch["mask"]`` are sharded ``P(data, space)``
+    (``clip_features``, if present, ``P(data)``) and the train state stays
+    REPLICATED in and out — the partitioner therefore all-reduces the
+    gradients over BOTH mesh axes (the ``space`` contributions of each
+    image's row shards sum exactly like the ``data`` contributions of a
+    batch shard; grad-parity vs the unsharded program is asserted in
+    ``tests/test_spatial.py``). Backward-pass halo exchanges (the transpose
+    of the forward's collective-permutes) and InstanceNorm statistic
+    reductions are inserted by XLA from the same sharding annotations.
+
+    This is the beyond-HBM TRAINING configuration: activation footprint per
+    chip divides by ``n_space``, so images too large for one chip's HBM
+    still fit a full loss+grads step.
+
+    ``min_spatial_factor``: the model's total downsampling (2^5 for the
+    6-stage UNet). The returned step REJECTS batches whose deepest level
+    would be narrower than the ``space`` axis — XLA silently miscompiles
+    the backward there (landmine 2 in the module docstring). The forward
+    path (``spatial_forward_jit``) has no such restriction.
+
+    ``loss_kwargs`` forward to
+    ``training.steps.make_segmentation_train_step`` (class-weight policy).
+    """
+    from unet_implementations_tpu.training.steps import (
+        make_segmentation_train_step,
+    )
+
+    raw = make_segmentation_train_step(
+        use_clip=use_clip, donate=False, jit=False, **loss_kwargs
+    )
+    sh = spatial_sharding(mesh)
+    rep = NamedSharding(mesh, P())
+    batch_spec = {"image": sh, "mask": sh}
+    if use_clip:
+        batch_spec["clip_features"] = NamedSharding(mesh, P(DATA_AXIS))
+    jitted = jax.jit(
+        raw,
+        in_shardings=(rep, batch_spec, rep),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,) if donate else (),
+    )
+    n_space = mesh.shape[SPACE_AXIS]
+    consumed = tuple(batch_spec)  # loader batches carry extra keys
+                                  # (index, original_dims) the loss never
+                                  # reads — drop them so the pinned
+                                  # in_shardings pytree matches.
+
+    def step(state, batch, rng):
+        batch = {k: batch[k] for k in consumed}
+        h, w = batch["image"].shape[1:3]
+        if min(h, w) // min_spatial_factor < n_space:
+            raise ValueError(
+                f"spatial train step: {h}x{w} images over space={n_space} "
+                f"put the deepest level ({min(h, w) // min_spatial_factor} "
+                f"rows) below the shard count — XLA miscompiles the "
+                f"backward there (parallel/spatial.py docstring). Use "
+                f"images with H/{min_spatial_factor} >= {n_space}, or "
+                f"fewer space shards."
+            )
+        return jitted(state, batch, rng)
+
+    return step

@@ -124,11 +124,18 @@ def train(
     use_mesh: bool = True,
     num_threads: int = 8,
     online_augment: bool = False,
+    spatial: int = 0,
     verbose: bool = True,
 ) -> Dict:
     """``online_augment=True`` applies the class-balanced augmentation policy
     on device per batch (the XLA-fused pipeline) instead of reading the
-    offline 5x/2x expansion from disk."""
+    offline 5x/2x expansion from disk.
+
+    ``spatial > 1`` trains over a 2-D (data, space) mesh: image rows shard
+    over ``spatial`` devices, the batch over the rest
+    (``parallel/spatial.py::spatial_train_step_jit``) — per-chip activation
+    footprint divides by ``spatial``, so images beyond one chip's HBM still
+    train. Requires image H/32 >= spatial (the step enforces it)."""
     output_dir = Path(output_dir)
     write_training_config(output_dir, dict(
         data_dir=str(data_dir), output_dir=str(output_dir), batch_size=batch_size,
@@ -148,7 +155,12 @@ def train(
         print(f"Training dataset size: {len(train_ds)}")
         print(f"Validation dataset size: {len(val_ds)}")
 
-    mesh = create_mesh() if use_mesh and jax.device_count() > 1 else None
+    if spatial and spatial > 1:
+        from unet_implementations_tpu.parallel import create_mesh_dp_sp
+
+        mesh = create_mesh_dp_sp(spatial)
+    else:
+        mesh = create_mesh() if use_mesh and jax.device_count() > 1 else None
 
     model = build_model(dtype)
     tx = sgd_nesterov(lr, weight_decay, momentum)
@@ -167,7 +179,12 @@ def train(
         dynamic_weights=weighted_ce and not static_weights,
         static_weights=sw if weighted_ce else None,
     )
-    train_step = make_segmentation_train_step(**loss_kw)
+    if spatial and spatial > 1:
+        from unet_implementations_tpu.parallel import spatial_train_step_jit
+
+        train_step = spatial_train_step_jit(mesh, donate=True, **loss_kw)
+    else:
+        train_step = make_segmentation_train_step(**loss_kw)
     eval_step = make_segmentation_eval_step(**loss_kw)
 
     start_epoch, best, es_state = 0, None, None

@@ -21,7 +21,20 @@ from typing import Any, Callable, Dict, Iterable, Optional
 import jax
 import numpy as np
 
-from unet_implementations_tpu.parallel import replicate, shard_batch
+from unet_implementations_tpu.parallel import (
+    replicate,
+    shard_batch,
+    shard_batch_spatial,
+)
+from unet_implementations_tpu.parallel.spatial import SPACE_AXIS
+
+
+def _shard_fn(mesh):
+    """Batch-sharding dispatch: a mesh with a ``space`` axis lays image rows
+    on it (spatial training); otherwise plain data-parallel sharding."""
+    if mesh is not None and SPACE_AXIS in mesh.axis_names:
+        return lambda batch, m=mesh: shard_batch_spatial(batch, m)
+    return lambda batch, m=mesh: shard_batch(batch, m)
 from unet_implementations_tpu.training.checkpoint import save_checkpoint
 from unet_implementations_tpu.training.early_stopping import EarlyStopping
 from unet_implementations_tpu.training.train_state import (
@@ -106,6 +119,7 @@ def train_loop(
         log_file.write_text("\n".join(kept) + "\n")
 
     state = replicate(state, mesh)
+    shard = _shard_fn(mesh)
     epochs_run = 0
 
     for epoch in range(start_epoch, epochs):
@@ -134,7 +148,7 @@ def train_loop(
             data_time += time.time() - t0
             if batch is None:
                 break
-            batch = shard_batch(batch, mesh)
+            batch = shard(batch)
             t0 = time.time()
             state, loss = train_step(state, batch, rng)
             losses.append(loss)
@@ -240,8 +254,9 @@ def validate(
     # batches; ONE bulk device_get at the end.
     run_ahead = 4
     outs = []
+    shard = _shard_fn(mesh)
     for batch in batches:
-        batch = shard_batch(batch, mesh)
+        batch = shard(batch)
         outs.append(eval_step(state, batch))
         if len(outs) > run_ahead:
             jax.block_until_ready(outs[len(outs) - run_ahead - 1]["loss"])

@@ -33,12 +33,16 @@ def make_segmentation_train_step(
     static_weights: Optional[jax.Array] = None,
     use_clip: bool = False,
     donate: bool = True,
+    jit: bool = True,
 ) -> Callable:
     """Returns jitted ``(state, batch, rng) -> (state, loss)``.
 
     ``batch``: dict with ``image`` (B,H,W,3) and ``mask`` (B,H,W) int32; with
     ``use_clip`` also ``clip_features`` (B,512). ``rng`` drives dropout and is
     folded with the step counter by the caller.
+
+    ``jit=False`` returns the raw step for callers that jit with explicit
+    shardings (``parallel/spatial.py::spatial_train_step_jit``).
     """
 
     def loss_fn(state, params, batch, rng):
@@ -65,6 +69,8 @@ def make_segmentation_train_step(
         )(state.params)
         return state.apply_gradients(grads), loss
 
+    if not jit:
+        return train_step
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
