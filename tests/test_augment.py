@@ -30,6 +30,7 @@ class TestAugmentBatch:
         assert out_i.min() >= 0.0 and out_i.max() <= 1.0
         assert np.all(np.isfinite(out_i))
 
+    @pytest.mark.slow
     def test_custom_policy_is_live_not_baked(self):
         """A custom policy takes effect even after the default policy has
         already been traced (regression: POLICY used to be a jit-baked
@@ -56,6 +57,7 @@ class TestAugmentBatch:
         assert not np.allclose(np.asarray(default_i), np.asarray(images),
                                atol=1e-3)
 
+    @pytest.mark.slow
     def test_mask_values_preserved(self):
         # NEAREST warping + fill 0 must never invent label values.
         img, mask = _pair(1)
@@ -67,6 +69,7 @@ class TestAugmentBatch:
             vals = set(np.unique(np.asarray(out_m)))
             assert vals <= {0, 1, 255}, vals
 
+    @pytest.mark.slow
     def test_deterministic_per_key(self):
         img, mask = _pair(2)
         images = jnp.asarray(img[None])

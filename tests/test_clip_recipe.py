@@ -2,6 +2,7 @@
 
 import numpy as np
 import cv2
+import pytest
 import jax
 import jax.numpy as jnp
 from PIL import Image
@@ -135,6 +136,7 @@ class TestOnlineAugmentWrapper:
             assert img.min() < -0.5 and img.max() > 0.5
             assert set(np.unique(np.asarray(b["mask"]))) <= {0, 1, 2, 255}
 
+    @pytest.mark.slow
     def test_clip_wrapper_extracts_from_augmented_pixels(self, tmp_path):
         # Live extraction: features come from the AUGMENTED pixels (change
         # with the augmentation key), image/mask match the plain wrapper's

@@ -3,6 +3,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 import torch
 import torch.nn as nn_t
 import torch.nn.functional as F
@@ -97,6 +98,7 @@ class TestConversion:
         ref = ref.permute(0, 2, 3, 1).numpy()
         np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-4)
 
+    @pytest.mark.slow
     def test_tree_structure_matches_init(self):
         g = torch.Generator().manual_seed(2)
         sd = _fabricate_state_dict(g)

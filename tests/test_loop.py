@@ -98,6 +98,7 @@ class TestSegmentationLoop:
         )
         assert result["epochs_run"] == 1
 
+    @pytest.mark.slow
     def test_best_model_written_even_for_zero_metric(self, tmp_path):
         """A collapsed run (foreground dice stuck at 0.0) still writes
         best_model so the evaluate flow has a checkpoint (the reference's
@@ -224,6 +225,7 @@ class TestSegmentationLoop:
         )
         assert resumed["epochs_run"] == full["epochs_run"]
 
+    @pytest.mark.slow
     def test_resume_drops_malformed_csv_rows(self, tmp_path):
         """A partially-written CSV row (crash mid-write) must not abort the
         resume; the row is dropped."""

@@ -59,6 +59,7 @@ class TestUNetShapes:
         assert out.shape == (1, 64, 64, 3)
         assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
 
+    @pytest.mark.slow
     def test_odd_input_sizes(self):
         # Decoder must upsample back to exact skip sizes (e.g. 375x500-ish).
         model = unet_6stage()

@@ -58,6 +58,7 @@ class TestExportRoundtrip:
         with pytest.raises(ValueError, match="empty batch"):
             served.predict(x[:0])
 
+    @pytest.mark.slow
     def test_multiplatform_lowering_without_tpu(self, tmp_path):
         """tpu+cpu lowerings bake into one module on a CPU-only host."""
         model, params = _small_model_and_params()
@@ -72,6 +73,7 @@ class TestExportRoundtrip:
         np.testing.assert_allclose(served.predict(x), np.asarray(ref),
                                    rtol=1e-4, atol=1e-4)
 
+    @pytest.mark.slow
     def test_clip_variant_two_inputs(self, tmp_path):
         model = UNet(clip_fusion=True, clip_dim=16, **{**SMALL})
         x = jnp.zeros((1, 32, 32, 3), jnp.float32)

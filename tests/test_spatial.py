@@ -92,6 +92,7 @@ class TestSpatialForward:
         )
         assert float(jnp.max(jnp.abs(out - ref))) < TOL
 
+    @pytest.mark.slow
     def test_space_only_four_way(self):
         """sp-4 latency mode: one image's rows over 4 devices."""
         model, params, x, ref = _model_and_ref(size=32)
@@ -165,6 +166,7 @@ class TestSpatialTrain:
         worst = max(jax.tree.leaves(diffs))
         assert worst < self.GRAD_TOL, f"worst param delta {worst}"
 
+    @pytest.mark.slow
     def test_train_step_matches_unsharded_dp2_sp2(self, monkeypatch):
         # TPU configuration: folded decoder upsample ON (the fold's backward
         # crosses shard borders through the strip recompute). 64px over

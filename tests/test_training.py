@@ -114,6 +114,7 @@ class TestSchedules:
 
 
 class TestTrainStep:
+    @pytest.mark.slow
     def test_loss_decreases(self):
         state = make_state()
         step = make_segmentation_train_step(donate=False)

@@ -38,6 +38,7 @@ class TestForwardExactness:
         "n,s,cin,cout",
         [(2, 16, 128, 128), (1, 32, 128, 256), (1, 8, 256, 128)],
     )
+    @pytest.mark.slow
     def test_matches_direct_conv(self, n, s, cin, cout):
         x, w, b = _setup(0, n, s, cin, cout)
         ref = _direct_conv(x, w, b)
