@@ -1,0 +1,230 @@
+"""Gradient accumulation: exact contract vs a sequential microbatch oracle.
+
+The accum step's promise (``training/steps.py::make_accum_train_step``) is
+the standard torch accumulation-loop semantics: loss = mean of the
+per-microbatch losses of the PLAIN step, update = one optimizer step from
+the averaged per-microbatch gradients, microbatch i = rows ``batch[i::accum]``.
+The oracle below replays exactly that with the shared loss_fn in a Python
+loop (reference behavior: the reference trains full batches only —
+``Our_UNet/src/train.py:592-680`` — accumulation is a TPU-side capability
+for effective batches past the single-chip HBM ceiling).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from unet_implementations_tpu.data.synthetic import synthetic_batch
+from unet_implementations_tpu.models.unet import UNet
+from unet_implementations_tpu.training import (
+    create_train_state,
+    make_accum_train_step,
+    make_segmentation_loss_fn,
+    make_segmentation_train_step,
+    sgd_nesterov,
+)
+
+
+def tiny(head="segmentation"):
+    return UNet(features_per_stage=(8, 16), strides=(1, 2),
+                encoder_dropout_rates=(0.0, 0.0), decoder_dropout_rates=(0.0,),
+                head=head)
+
+
+def seg_batch(seed, n, size=32):
+    b = synthetic_batch(seed, n, size)
+    return {k: jnp.asarray(v) for k, v in b.items() if k in ("image", "mask")}
+
+
+def make_state(batch, seed=0):
+    model = tiny()
+    return create_train_state(
+        model, jax.random.key(seed), batch["image"], sgd_nesterov()
+    )
+
+
+def oracle(state, batch, rng, loss_fn, accum):
+    """The contract, spelled out: sequential strided microbatches through the
+    SAME loss_fn, f32 grad accumulation, one averaged update."""
+    rng = jax.random.fold_in(rng, state.step)
+    gsum = jax.tree.map(
+        lambda p: jnp.zeros(p.shape, jnp.float32), state.params
+    )
+    lsum = 0.0
+    for i in range(accum):
+        mb = {k: v[i::accum] for k, v in batch.items()}
+        mrng = jax.random.fold_in(rng, i)
+        loss, grads = jax.value_and_grad(
+            lambda p: loss_fn(state, p, mb, mrng)
+        )(state.params)
+        gsum = jax.tree.map(
+            lambda a, g: a + g.astype(jnp.float32), gsum, grads
+        )
+        lsum += float(loss)
+    grads = jax.tree.map(
+        lambda g, p: (g / accum).astype(p.dtype), gsum, state.params
+    )
+    return state.apply_gradients(grads), lsum / accum
+
+
+def assert_params_close(a, b, rtol=1e-6, atol=1e-7):
+    flat_a, _ = jax.tree.flatten(a)
+    flat_b, _ = jax.tree.flatten(b)
+    for xa, xb in zip(flat_a, flat_b):
+        np.testing.assert_allclose(
+            np.asarray(xa, np.float32), np.asarray(xb, np.float32),
+            rtol=rtol, atol=atol,
+        )
+
+
+class TestAccumStep:
+    def test_matches_sequential_oracle(self):
+        batch = seg_batch(0, 4)
+        state = make_state(batch)
+        loss_fn = make_segmentation_loss_fn()
+        step = make_accum_train_step(loss_fn, 2, donate=False)
+        rng = jax.random.key(1)
+
+        new_state, loss = step(state, batch, rng)
+        oracle_state, oracle_loss = oracle(state, batch, rng, loss_fn, 2)
+
+        assert np.isclose(float(loss), oracle_loss, rtol=1e-6)
+        assert_params_close(new_state.params, oracle_state.params)
+        assert int(new_state.step) == 1  # ONE optimizer step per call
+
+    def test_accum_1_matches_plain_step(self):
+        # accum=1 degenerates to the plain step's math (the rng path differs
+        # by one fold; the tiny model has dropout 0 so the update is equal).
+        batch = seg_batch(1, 4)
+        state = make_state(batch)
+        loss_fn = make_segmentation_loss_fn()
+        astep = make_accum_train_step(loss_fn, 1, donate=False)
+        pstep = make_segmentation_train_step(donate=False)
+        rng = jax.random.key(2)
+
+        a_state, a_loss = astep(state, batch, rng)
+        p_state, p_loss = pstep(state, batch, rng)
+        assert np.isclose(float(a_loss), float(p_loss), rtol=1e-6)
+        assert_params_close(a_state.params, p_state.params)
+
+    def test_indivisible_batch_raises(self):
+        batch = seg_batch(2, 4)
+        state = make_state(batch)
+        step = make_accum_train_step(make_segmentation_loss_fn(), 3,
+                                     donate=False)
+        with pytest.raises(ValueError, match="does not divide"):
+            step(state, batch, jax.random.key(0))
+
+    def test_invalid_accum_rejected(self):
+        with pytest.raises(ValueError, match=">= 1"):
+            make_accum_train_step(make_segmentation_loss_fn(), 0)
+
+    def test_data_parallel_matches_unsharded(self):
+        # The strided microbatch split keeps block-sharded batches evenly
+        # spread across devices — sharded and unsharded runs must agree.
+        from unet_implementations_tpu.parallel import (
+            create_mesh,
+            replicate,
+            shard_batch,
+        )
+
+        batch = seg_batch(3, 8)
+        state = make_state(batch)
+        loss_fn = make_segmentation_loss_fn()
+        step = make_accum_train_step(loss_fn, 2, donate=False)
+        rng = jax.random.key(4)
+
+        plain_state, plain_loss = step(state, batch, rng)
+
+        mesh = create_mesh(4)
+        sstate = replicate(state, mesh)
+        sbatch = shard_batch(batch, mesh)
+        shard_state, shard_loss = step(sstate, sbatch, rng)
+
+        # Tolerance: the all-reduce changes the f32 summation order, which
+        # perturbs the loss at ~1e-5 relative (measured 1.1e-5 on the
+        # 8-device CPU mesh) — not a semantic divergence.
+        assert np.isclose(float(shard_loss), float(plain_loss), rtol=5e-5)
+        assert_params_close(shard_state.params, plain_state.params,
+                            rtol=5e-5, atol=1e-6)
+
+    def test_reconstruction_loss_fn(self):
+        from unet_implementations_tpu.recipes.ae_recon import make_loss_fn
+
+        b = synthetic_batch(5, 4, 32, reconstruction=True)
+        batch = {k: jnp.asarray(v) for k, v in b.items()
+                 if k in ("image", "target")}
+        # sgd, not adam: at step 1 adam's update is ~sign(grad)*lr, so f32
+        # scan-vs-loop reduction noise on near-zero grads flips whole update
+        # signs — sgd keeps the noise proportional and the oracle comparable.
+        model = tiny(head="reconstruction")
+        state = create_train_state(
+            model, jax.random.key(0), batch["image"], sgd_nesterov()
+        )
+        loss_fn = make_loss_fn()
+        step = make_accum_train_step(loss_fn, 2, donate=False)
+        rng = jax.random.key(6)
+
+        new_state, loss = step(state, batch, rng)
+        oracle_state, oracle_loss = oracle(state, batch, rng, loss_fn, 2)
+        assert np.isclose(float(loss), oracle_loss, rtol=1e-6)
+        assert_params_close(new_state.params, oracle_state.params)
+
+
+class TestAccumRecipe:
+    @pytest.mark.slow
+    def test_recipe_e2e_and_config(self, tmp_path):
+        # grad_accum threads through the our_unet recipe: config recorded,
+        # one epoch trains, artifacts written.
+        import json
+
+        import cv2
+        from PIL import Image
+
+        from unet_implementations_tpu.recipes import our_unet
+
+        root = tmp_path / "data"
+        rng = np.random.default_rng(0)
+        for split, n in (("Train", 4), ("Val", 2)):
+            (root / split / "resized").mkdir(parents=True)
+            lbl = root / split / ("resized_label" if split == "Train"
+                                  else "processed_labels")
+            lbl.mkdir(parents=True)
+            for i in range(n):
+                img = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+                cv2.imwrite(str(root / split / "resized" / f"s_{i}.jpg"), img)
+                m = np.zeros((64, 64), np.uint8)
+                m[16:48, 16:48] = 1 + (i % 2)
+                Image.fromarray(m).save(lbl / f"s_{i}.png")
+
+        out = tmp_path / "out"
+        our_unet.train(root, out, batch_size=4, epochs=1, grad_accum=2,
+                       num_threads=1, dtype=jnp.float32, verbose=False)
+        cfg = json.loads((out / "training_config.json").read_text())
+        assert cfg["grad_accum"] == 2
+        assert (out / "training_log.csv").exists()
+
+    def test_spatial_plus_accum_rejected(self, tmp_path):
+        from unet_implementations_tpu.recipes import our_unet
+
+        (tmp_path / "Train" / "resized").mkdir(parents=True)
+        (tmp_path / "Train" / "resized_label").mkdir(parents=True)
+        (tmp_path / "Val" / "resized").mkdir(parents=True)
+        (tmp_path / "Val" / "processed_labels").mkdir(parents=True)
+        with pytest.raises(ValueError, match="spatial"):
+            our_unet.train(tmp_path, tmp_path / "out", spatial=2,
+                           grad_accum=2, verbose=False)
+
+    def test_parser_accepts_grad_accum(self):
+        from unet_implementations_tpu.cli import build_parser
+
+        p = build_parser()
+        for recipe in ("our_unet", "clip_unet", "ae_recon", "ae_transfer"):
+            argv = [recipe, "train", "--data_dir", "d", "--output_dir", "o",
+                    "--grad_accum", "4"]
+            if recipe == "ae_transfer":
+                argv += ["--pretrained_encoder", "enc"]
+            args = p.parse_args(argv)
+            assert args.grad_accum == 4

@@ -255,6 +255,21 @@ class TestSpatialTrainRecipe:
         log = (out / "training_log.csv").read_text().splitlines()
         assert len(log) == 2  # header + one epoch row
         assert (out / "best_model").exists()
+        # The mesh configuration is part of the run's reproducibility record.
+        import json
+        cfg = json.loads((out / "training_config.json").read_text())
+        assert cfg["spatial"] == 2
+
+    def test_spatial_contradicts_no_mesh(self, tmp_path):
+        from unet_implementations_tpu.recipes import our_unet
+
+        (tmp_path / "Train" / "resized").mkdir(parents=True)
+        (tmp_path / "Train" / "resized_label").mkdir(parents=True)
+        (tmp_path / "Val" / "resized").mkdir(parents=True)
+        (tmp_path / "Val" / "processed_labels").mkdir(parents=True)
+        with pytest.raises(ValueError, match="no_mesh"):
+            our_unet.train(tmp_path, tmp_path / "out", spatial=2,
+                           use_mesh=False, verbose=False)
 
     def test_spatial_train_parser(self):
         from unet_implementations_tpu.cli import build_parser

@@ -34,6 +34,11 @@ def _add_common_train_flags(p: argparse.ArgumentParser, batch_size: int = 32):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no_mesh", action="store_true", help="disable data-parallel mesh")
     p.add_argument("--f32", action="store_true", help="compute in float32 (default bf16)")
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="split each batch into N sequential microbatches "
+                        "inside one jit (gradient accumulation) — large "
+                        "effective batches past the single-chip HBM train "
+                        "ceiling. batch_size must divide by N")
     _add_compat_flags(p)
 
 
@@ -99,7 +104,7 @@ def _seg_train_kwargs(args):
         dice_weight=args.dice_weight, ce_weight=args.ce_weight,
         patience=args.patience, save_every=args.save_every, resume=args.resume,
         seed=args.seed, dtype=_dtype(args), use_mesh=not args.no_mesh,
-        num_threads=_num_threads(args),
+        num_threads=_num_threads(args), grad_accum=args.grad_accum,
     )
 
 
@@ -488,7 +493,8 @@ def main(argv=None):
                     ssim_weight=args.ssim_weight, patience=args.patience,
                     save_every=args.save_every, resume=args.resume,
                     seed=args.seed, dtype=_dtype(args),
-                    use_mesh=not args.no_mesh, num_threads=_num_threads(args))
+                    use_mesh=not args.no_mesh, num_threads=_num_threads(args),
+                    grad_accum=args.grad_accum)
         else:
             r.evaluate(args.model_path, args.data_dir, args.output_dir,
                        batch_size=args.batch_size, dtype=_dtype(args),

@@ -117,6 +117,26 @@ def load_torch_checkpoint(path, model: UNet) -> Dict:
     return torch_unet_state_dict_to_params(sd, model)
 
 
+def _model_for_arch(arch: str) -> UNet:
+    """The reference-trained model each CLI ``--arch`` value maps to (shared
+    by ``convert`` and ``export_torch`` so the two directions can never
+    disagree): our_unet | ae_transfer (the same 6-stage model) | ae_recon
+    (sigmoid head) | clip_unet (bottleneck fusion, clip_dim 512 — the only
+    variant the reference trained)."""
+    from unet_implementations_tpu.models.unet import (
+        autoencoder_6stage,
+        unet_6stage,
+    )
+
+    if arch in ("our_unet", "ae_transfer"):
+        return unet_6stage()
+    if arch == "ae_recon":
+        return autoencoder_6stage()
+    if arch == "clip_unet":
+        return UNet(clip_fusion=True)
+    raise ValueError(f"unknown arch {arch!r}")
+
+
 def convert_torch_checkpoint(
     torch_path,
     output_path,
@@ -124,30 +144,16 @@ def convert_torch_checkpoint(
 ) -> None:
     """``.pth`` → Orbax checkpoint directory loadable by the evaluate CLIs.
 
-    ``arch``: our_unet | ae_transfer (the same 6-stage model) | ae_recon
-    (sigmoid head) | clip_unet (bottleneck fusion, clip_dim 512 — the only
-    variant the reference trained). Preserves the torch checkpoint's epoch
-    and best metric in the Orbax meta when present.
+    Preserves the torch checkpoint's epoch and best metric in the Orbax
+    meta when present. See ``_model_for_arch`` for the ``arch`` values.
     """
     import jax.numpy as jnp
     import torch
 
-    from unet_implementations_tpu.models.unet import (
-        autoencoder_6stage,
-        unet_6stage,
-    )
     from unet_implementations_tpu.training import create_train_state, sgd_nesterov
     from unet_implementations_tpu.training.checkpoint import save_checkpoint
 
-    if arch in ("our_unet", "ae_transfer"):
-        model = unet_6stage()
-    elif arch == "ae_recon":
-        model = autoencoder_6stage()
-    elif arch == "clip_unet":
-        model = UNet(clip_fusion=True)
-    else:
-        raise ValueError(f"unknown arch {arch!r}")
-
+    model = _model_for_arch(arch)
     ckpt = torch.load(str(torch_path), map_location="cpu", weights_only=False)
     sd = ckpt.get("model_state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
     params = torch_unet_state_dict_to_params(sd, model)
@@ -245,30 +251,17 @@ def export_torch_checkpoint(
     optimizer/scheduler states, which its load path never reads.
     """
     import json
+    from pathlib import Path
 
     import jax.numpy as jnp
     import torch
 
-    from unet_implementations_tpu.models.unet import (
-        autoencoder_6stage,
-        unet_6stage,
-    )
     from unet_implementations_tpu.training.checkpoint import (
         META_FILE,
         restore_params,
     )
 
-    if arch in ("our_unet", "ae_transfer"):
-        model = unet_6stage()
-    elif arch == "ae_recon":
-        model = autoencoder_6stage()
-    elif arch == "clip_unet":
-        model = UNet(clip_fusion=True)
-    else:
-        raise ValueError(f"unknown arch {arch!r}")
-
-    from pathlib import Path
-
+    model = _model_for_arch(arch)
     checkpoint_path = Path(checkpoint_path)
     kwargs = (
         {"clip_features": jnp.zeros((1, model.clip_dim))}

@@ -205,15 +205,15 @@ def spatial_train_step_jit(
 
     def step(state, batch, rng):
         batch = {k: batch[k] for k in consumed}
-        h, w = batch["image"].shape[1:3]
-        if min(h, w) // min_spatial_factor < n_space:
+        h = batch["image"].shape[1]  # only H (axis 1) shards on ``space``
+        if h // min_spatial_factor < n_space:
             raise ValueError(
-                f"spatial train step: {h}x{w} images over space={n_space} "
-                f"put the deepest level ({min(h, w) // min_spatial_factor} "
-                f"rows) below the shard count — XLA miscompiles the "
-                f"backward there (parallel/spatial.py docstring). Use "
-                f"images with H/{min_spatial_factor} >= {n_space}, or "
-                f"fewer space shards."
+                f"spatial train step: H={h} images over space={n_space} "
+                f"put the deepest level ({h // min_spatial_factor} rows) "
+                f"below the shard count — XLA miscompiles the backward "
+                f"there (parallel/spatial.py docstring). Use images with "
+                f"H/{min_spatial_factor} >= {n_space}, or fewer space "
+                f"shards."
             )
         return jitted(state, batch, rng)
 

@@ -71,9 +71,11 @@ def make_datasets(data_dir: str | Path):
     return train, val
 
 
-def make_train_step(mse_weight=1.0, perceptual_weight=0.0, ssim_weight=0.0,
-                    donate: bool = True, feature_fns=None):
-    """``feature_fns`` (``models/vgg.py::make_features_fn``) is required for
+def make_loss_fn(mse_weight=1.0, perceptual_weight=0.0, ssim_weight=0.0,
+                 feature_fns=None):
+    """``loss_fn(state, params, batch, rng) -> loss`` for the composite AE
+    objective — the shape ``training.steps.make_accum_train_step`` consumes.
+    ``feature_fns`` (``models/vgg.py::make_features_fn``) is required for
     a nonzero ``perceptual_weight`` — ``train`` wires it automatically."""
     if perceptual_weight > 0 and feature_fns is None:
         raise ValueError(
@@ -81,21 +83,30 @@ def make_train_step(mse_weight=1.0, perceptual_weight=0.0, ssim_weight=0.0,
             "(models/vgg.py::make_features_fn)"
         )
 
+    def loss_fn(state, params, batch, rng):
+        recon = state.apply_fn(
+            {"params": params}, batch["image"],
+            deterministic=False, rngs={"dropout": rng},
+        )
+        return reconstruction_loss(
+            recon, batch["target"], mse_weight=mse_weight,
+            perceptual_weight=perceptual_weight, ssim_weight=ssim_weight,
+            feature_fns=feature_fns,
+        )
+
+    return loss_fn
+
+
+def make_train_step(mse_weight=1.0, perceptual_weight=0.0, ssim_weight=0.0,
+                    donate: bool = True, feature_fns=None):
+    loss_fn = make_loss_fn(mse_weight, perceptual_weight, ssim_weight,
+                           feature_fns)
+
     def train_step(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
-
-        def loss_fn(params):
-            recon = state.apply_fn(
-                {"params": params}, batch["image"],
-                deterministic=False, rngs={"dropout": rng},
-            )
-            return reconstruction_loss(
-                recon, batch["target"], mse_weight=mse_weight,
-                perceptual_weight=perceptual_weight, ssim_weight=ssim_weight,
-                feature_fns=feature_fns,
-            )
-
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        loss, grads = jax.value_and_grad(
+            lambda p: loss_fn(state, p, batch, rng)
+        )(state.params)
         return state.apply_gradients(grads), loss
 
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
@@ -119,6 +130,7 @@ def train(
     dtype=jnp.bfloat16,
     use_mesh: bool = True,
     num_threads: int = 8,
+    grad_accum: int = 1,
     verbose: bool = True,
 ) -> Dict:
     output_dir = Path(output_dir)
@@ -127,7 +139,7 @@ def train(
         batch_size=batch_size, epochs=epochs, lr=lr, weight_decay=weight_decay,
         mse_weight=mse_weight, perceptual_weight=perceptual_weight,
         ssim_weight=ssim_weight, patience=patience, save_every=save_every,
-        seed=seed, dtype=str(dtype),
+        seed=seed, dtype=str(dtype), grad_accum=grad_accum,
     ))
 
     train_ds, val_ds = make_datasets(data_dir)
@@ -150,8 +162,17 @@ def train(
         # converted torchvision weights via make_features_fn(params=...)
         # for a meaningful perceptual term.
         feature_fns = make_features_fn(jax.random.key(seed + 2), dtype=dtype)
-    train_step = make_train_step(mse_weight, perceptual_weight, ssim_weight,
-                                 feature_fns=feature_fns)
+    if grad_accum > 1:
+        from unet_implementations_tpu.training.steps import make_accum_train_step
+
+        train_step = make_accum_train_step(
+            make_loss_fn(mse_weight, perceptual_weight, ssim_weight,
+                         feature_fns=feature_fns),
+            grad_accum,
+        )
+    else:
+        train_step = make_train_step(mse_weight, perceptual_weight,
+                                     ssim_weight, feature_fns=feature_fns)
     eval_step = make_reconstruction_eval_step()
 
     start_epoch, best, es_state = 0, None, None

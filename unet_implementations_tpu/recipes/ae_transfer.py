@@ -72,6 +72,7 @@ def train(
     use_mesh: bool = True,
     num_threads: int = 8,
     online_augment: bool = False,
+    grad_accum: int = 1,
     verbose: bool = True,
 ) -> Dict:
     output_dir = Path(output_dir)
@@ -82,6 +83,7 @@ def train(
         weighted_ce=weighted_ce, static_weights=static_weights,
         dice_weight=dice_weight, ce_weight=ce_weight, patience=patience,
         save_every=save_every, seed=seed, dtype=str(dtype),
+        grad_accum=grad_accum,
     ))
 
     train_ds, val_ds = make_datasets(
@@ -118,7 +120,17 @@ def train(
         dynamic_weights=weighted_ce and not static_weights,
         static_weights=sw if weighted_ce else None,
     )
-    train_step = make_segmentation_train_step(**loss_kw)
+    if grad_accum > 1:
+        from unet_implementations_tpu.training.steps import (
+            make_accum_train_step,
+            make_segmentation_loss_fn,
+        )
+
+        train_step = make_accum_train_step(
+            make_segmentation_loss_fn(**loss_kw), grad_accum
+        )
+    else:
+        train_step = make_segmentation_train_step(**loss_kw)
     eval_step = make_segmentation_eval_step(**loss_kw)
 
     start_epoch, best, es_state = 0, None, None

@@ -222,6 +222,7 @@ def train(
     use_mesh: bool = True,
     num_threads: int = 8,
     online_augment: bool = False,
+    grad_accum: int = 1,
     verbose: bool = True,
 ) -> Dict:
     """``online_augment=True`` augments on device per batch and extracts CLIP
@@ -238,6 +239,7 @@ def train(
         dice_weight=dice_weight, ce_weight=ce_weight, patience=patience,
         save_every=save_every, seed=seed, dtype=str(dtype),
         with_clip_features=True, online_augment=online_augment,
+        grad_accum=grad_accum,
     ))
 
     train_ds, val_ds = make_datasets(
@@ -290,7 +292,17 @@ def train(
         dynamic_weights=weighted_ce and not static_weights,
         static_weights=sw if weighted_ce else None,
     )
-    train_step = make_segmentation_train_step(use_clip=True, **loss_kw)
+    if grad_accum > 1:
+        from unet_implementations_tpu.training.steps import (
+            make_accum_train_step,
+            make_segmentation_loss_fn,
+        )
+
+        train_step = make_accum_train_step(
+            make_segmentation_loss_fn(use_clip=True, **loss_kw), grad_accum
+        )
+    else:
+        train_step = make_segmentation_train_step(use_clip=True, **loss_kw)
     eval_step = make_segmentation_eval_step(use_clip=True, **loss_kw)
 
     start_epoch, best, es_state = 0, None, None

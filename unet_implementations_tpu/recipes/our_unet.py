@@ -125,6 +125,7 @@ def train(
     num_threads: int = 8,
     online_augment: bool = False,
     spatial: int = 0,
+    grad_accum: int = 1,
     verbose: bool = True,
 ) -> Dict:
     """``online_augment=True`` applies the class-balanced augmentation policy
@@ -135,7 +136,13 @@ def train(
     over ``spatial`` devices, the batch over the rest
     (``parallel/spatial.py::spatial_train_step_jit``) — per-chip activation
     footprint divides by ``spatial``, so images beyond one chip's HBM still
-    train. Requires image H/32 >= spatial (the step enforces it)."""
+    train. Requires image H/32 >= spatial (the step enforces it).
+
+    ``grad_accum > 1`` splits each batch into that many sequential
+    microbatches inside one jit (``training.steps.make_accum_train_step``) —
+    the route past the b32 single-chip HBM train ceiling
+    (docs/PERFORMANCE.md): effective batch = batch_size with the live
+    activation footprint of batch_size/grad_accum."""
     output_dir = Path(output_dir)
     write_training_config(output_dir, dict(
         data_dir=str(data_dir), output_dir=str(output_dir), batch_size=batch_size,
@@ -143,7 +150,8 @@ def train(
         weighted_ce=weighted_ce, static_weights=static_weights,
         dice_weight=dice_weight, ce_weight=ce_weight, patience=patience,
         save_every=save_every, seed=seed, dtype=str(dtype),
-        online_augment=online_augment,
+        online_augment=online_augment, spatial=spatial,
+        grad_accum=grad_accum,
     ))
 
     train_ds, val_ds = make_datasets(
@@ -156,6 +164,17 @@ def train(
         print(f"Validation dataset size: {len(val_ds)}")
 
     if spatial and spatial > 1:
+        if not use_mesh:
+            raise ValueError(
+                "--spatial requires the device mesh; drop --no_mesh or "
+                "--spatial (they contradict)."
+            )
+        if grad_accum > 1:
+            raise ValueError(
+                "--grad_accum with --spatial is not supported: spatial "
+                "partitioning already divides the activation footprint; "
+                "use one or the other."
+            )
         from unet_implementations_tpu.parallel import create_mesh_dp_sp
 
         mesh = create_mesh_dp_sp(spatial)
@@ -183,6 +202,15 @@ def train(
         from unet_implementations_tpu.parallel import spatial_train_step_jit
 
         train_step = spatial_train_step_jit(mesh, donate=True, **loss_kw)
+    elif grad_accum > 1:
+        from unet_implementations_tpu.training.steps import (
+            make_accum_train_step,
+            make_segmentation_loss_fn,
+        )
+
+        train_step = make_accum_train_step(
+            make_segmentation_loss_fn(**loss_kw), grad_accum
+        )
     else:
         train_step = make_segmentation_train_step(**loss_kw)
     eval_step = make_segmentation_eval_step(**loss_kw)

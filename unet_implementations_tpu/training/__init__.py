@@ -11,6 +11,8 @@ from unet_implementations_tpu.training.train_state import (  # noqa: F401
     get_learning_rate,
 )
 from unet_implementations_tpu.training.steps import (  # noqa: F401
+    make_accum_train_step,
+    make_segmentation_loss_fn,
     make_segmentation_train_step,
     make_segmentation_eval_step,
     make_reconstruction_train_step,

@@ -27,20 +27,32 @@ from unet_implementations_tpu.parallel import (
     shard_batch_spatial,
 )
 from unet_implementations_tpu.parallel.spatial import SPACE_AXIS
-
-
-def _shard_fn(mesh):
-    """Batch-sharding dispatch: a mesh with a ``space`` axis lays image rows
-    on it (spatial training); otherwise plain data-parallel sharding."""
-    if mesh is not None and SPACE_AXIS in mesh.axis_names:
-        return lambda batch, m=mesh: shard_batch_spatial(batch, m)
-    return lambda batch, m=mesh: shard_batch(batch, m)
 from unet_implementations_tpu.training.checkpoint import save_checkpoint
 from unet_implementations_tpu.training.early_stopping import EarlyStopping
 from unet_implementations_tpu.training.train_state import (
     TrainState,
     set_learning_rate,
 )
+
+# Batch leaves the jitted steps actually read; the loader's bookkeeping
+# leaves (index, original_dims, ...) stay host-side — device-putting them
+# every step would be dead H2D transfer.
+_DEVICE_KEYS = ("image", "mask", "target", "clip_features", "clip_image")
+
+
+def _shard_fn(mesh):
+    """Batch-sharding dispatch: a mesh with a ``space`` axis lays image rows
+    on it (spatial training); otherwise plain data-parallel sharding."""
+    put = (shard_batch_spatial
+           if mesh is not None and SPACE_AXIS in mesh.axis_names
+           else shard_batch)
+
+    def shard(batch):
+        return put({k: v for k, v in batch.items() if k in _DEVICE_KEYS},
+                   mesh)
+
+    return shard
+
 
 SEG_CSV_HEADER = (
     "epoch,train_loss,val_loss,dice_background,dice_cat,dice_dog,"

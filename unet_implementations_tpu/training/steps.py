@@ -25,6 +25,38 @@ from unet_implementations_tpu.ops.metrics import batch_dice_scores, confusion_ma
 from unet_implementations_tpu.training.train_state import TrainState
 
 
+def make_segmentation_loss_fn(
+    *,
+    weight_ce: float = 1.0,
+    weight_dice: float = 1.0,
+    dynamic_weights: bool = True,
+    static_weights: Optional[jax.Array] = None,
+    use_clip: bool = False,
+) -> Callable:
+    """``loss_fn(state, params, batch, rng) -> loss`` for the segmentation
+    objective — shared by the plain train step and the gradient-accumulation
+    wrapper so the two can never diverge."""
+
+    def loss_fn(state, params, batch, rng):
+        logits = state.apply_fn(
+            {"params": params},
+            batch["image"],
+            batch.get("clip_features") if use_clip else None,
+            deterministic=False,
+            rngs={"dropout": rng},
+        )
+        return segmentation_loss(
+            logits,
+            batch["mask"],
+            weight_ce=weight_ce,
+            weight_dice=weight_dice,
+            class_weights=static_weights,
+            dynamic_weights=dynamic_weights and static_weights is None,
+        )
+
+    return loss_fn
+
+
 def make_segmentation_train_step(
     *,
     weight_ce: float = 1.0,
@@ -44,23 +76,13 @@ def make_segmentation_train_step(
     ``jit=False`` returns the raw step for callers that jit with explicit
     shardings (``parallel/spatial.py::spatial_train_step_jit``).
     """
-
-    def loss_fn(state, params, batch, rng):
-        logits = state.apply_fn(
-            {"params": params},
-            batch["image"],
-            batch.get("clip_features") if use_clip else None,
-            deterministic=False,
-            rngs={"dropout": rng},
-        )
-        return segmentation_loss(
-            logits,
-            batch["mask"],
-            weight_ce=weight_ce,
-            weight_dice=weight_dice,
-            class_weights=static_weights,
-            dynamic_weights=dynamic_weights and static_weights is None,
-        )
+    loss_fn = make_segmentation_loss_fn(
+        weight_ce=weight_ce,
+        weight_dice=weight_dice,
+        dynamic_weights=dynamic_weights,
+        static_weights=static_weights,
+        use_clip=use_clip,
+    )
 
     def train_step(state: TrainState, batch: Dict, rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
@@ -68,6 +90,90 @@ def make_segmentation_train_step(
             lambda p: loss_fn(state, p, batch, rng)
         )(state.params)
         return state.apply_gradients(grads), loss
+
+    if not jit:
+        return train_step
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_accum_train_step(
+    loss_fn: Callable,
+    accum: int,
+    *,
+    donate: bool = True,
+    jit: bool = True,
+) -> Callable:
+    """Gradient accumulation: one optimizer update from ``accum`` sequential
+    microbatch passes inside a single jit (``lax.scan``).
+
+    ``loss_fn(state, params, microbatch, rng) -> loss`` — the same callable
+    the plain step factories use (``make_segmentation_loss_fn``,
+    ``recipes.ae_recon.make_loss_fn``). The effective batch B must divide by
+    ``accum``; each microbatch is B/accum. Gradients accumulate in f32 and
+    are averaged before ``apply_gradients``; the reported loss is the mean of
+    the microbatch losses.
+
+    Semantics — identical to what a torch user gets from the standard
+    ``loss.backward()``-per-microbatch accumulation loop, and therefore NOT
+    bitwise the full-batch step where the objective couples across the batch
+    (dynamic class weights, weighted-CE normalization, and the batch-mean
+    dice are computed per MICRObatch; dropout draws a fresh mask per
+    microbatch). The exact contract — accum step == sequential average of
+    per-microbatch losses/grads of the plain step — is asserted in
+    ``tests/test_accum.py``.
+
+    Why it exists on TPU: the train step is HBM-capacity-bound (b32 ceiling
+    at 512², docs/PERFORMANCE.md) — ``lax.scan`` keeps only ONE microbatch's
+    activations live, so effective batches of b32*accum fit one chip with
+    the optimizer/update math of the large batch.
+
+    Composes with data parallelism: microbatch i is the STRIDED row subset
+    ``batch[i::accum]`` — under a block-sharded ``data`` axis every
+    microbatch then draws micro/n_devices rows from each device's block, so
+    each scan iteration is itself a data-parallel microstep with XLA's usual
+    gradient all-reduce. (A contiguous ``(accum, micro, ...)`` reshape would
+    instead land whole microbatches on single devices.) Requires
+    batch_size/accum to divide the device count for an even layout;
+    asserted sharded==unsharded in ``tests/test_accum.py``.
+    """
+    if accum < 1:
+        raise ValueError(f"accum must be >= 1, got {accum}")
+
+    def train_step(state: TrainState, batch: Dict, rng: jax.Array):
+        rng = jax.random.fold_in(rng, state.step)
+        b = batch["image"].shape[0]
+        if b % accum != 0:
+            raise ValueError(
+                f"gradient accumulation: batch size {b} does not divide "
+                f"into accum={accum} equal microbatches"
+            )
+        micro = b // accum
+        mb = jax.tree.map(
+            lambda x: x.reshape(micro, accum, *x.shape[1:]).swapaxes(0, 1),
+            batch,
+        )
+
+        def body(carry, microbatch):
+            gacc, lacc, i = carry
+            mrng = jax.random.fold_in(rng, i)
+            loss, grads = jax.value_and_grad(
+                lambda p: loss_fn(state, p, microbatch, mrng)
+            )(state.params)
+            gacc = jax.tree.map(
+                lambda a, g: a + g.astype(jnp.float32), gacc, grads
+            )
+            return (gacc, lacc + loss, i + 1), None
+
+        zeros = jax.tree.map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), state.params
+        )
+        (gacc, lsum, _), _ = jax.lax.scan(
+            body, (zeros, jnp.float32(0.0), jnp.int32(0)), mb
+        )
+        grads = jax.tree.map(
+            lambda g, p: (g / accum).astype(p.dtype), gacc, state.params
+        )
+        return state.apply_gradients(grads), lsum / accum
 
     if not jit:
         return train_step
