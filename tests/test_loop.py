@@ -279,3 +279,23 @@ class TestReconstructionLoop:
         ]
         assert calls  # callback fired on checkpoint epochs
         assert result["best_metric"] <= float(rows[0]["val_loss"]) + 1e-9
+
+
+class TestShardFn:
+    def test_bookkeeping_leaves_stay_host_side(self):
+        # The loop device-puts only the leaves the jitted steps read
+        # (loop.py::_DEVICE_KEYS); the loader's bookkeeping entries
+        # (index, original_dims, ...) must not ride H2D every step.
+        from unet_implementations_tpu.parallel import create_mesh
+        from unet_implementations_tpu.training.loop import _shard_fn
+
+        batch = {
+            "image": jnp.zeros((4, 8, 8, 3)),
+            "mask": jnp.zeros((4, 8, 8), jnp.int32),
+            "index": np.arange(4),
+            "original_dims": [(64, 48)] * 4,
+        }
+        for mesh in (None, create_mesh(4)):
+            out = _shard_fn(mesh)(batch)
+            assert set(out) == {"image", "mask"}, out.keys()
+            assert out["image"].shape == (4, 8, 8, 3)
