@@ -228,3 +228,24 @@ class TestAccumRecipe:
                 argv += ["--pretrained_encoder", "enc"]
             args = p.parse_args(argv)
             assert args.grad_accum == 4
+
+    def test_indivisible_batch_fails_fast(self, tmp_path):
+        # The guard fires BEFORE dataset loading / compile — a bad
+        # batch_size/grad_accum pair must not cost the user a long startup.
+        from unet_implementations_tpu.recipes import (
+            ae_recon,
+            ae_transfer,
+            clip_unet,
+            our_unet,
+        )
+
+        missing = tmp_path / "nonexistent"
+        for mod, kw in (
+            (our_unet, {}),
+            (clip_unet, {}),
+            (ae_recon, {}),
+            (ae_transfer, {"pretrained_encoder": str(missing)}),
+        ):
+            with pytest.raises(ValueError, match="does not divide"):
+                mod.train(missing, tmp_path / "out", batch_size=4,
+                          grad_accum=3, verbose=False, **kw)

@@ -30,7 +30,10 @@ from unet_implementations_tpu.models.unet import autoencoder_6stage
 from unet_implementations_tpu.ops.losses import reconstruction_loss
 from unet_implementations_tpu.parallel import create_mesh
 from unet_implementations_tpu.ops.tuning import inference_jit
-from unet_implementations_tpu.recipes.common import evaluate_reconstruction
+from unet_implementations_tpu.recipes.common import (
+    check_grad_accum,
+    evaluate_reconstruction,
+)
 from unet_implementations_tpu.training import (
     adam_l2,
     cosine_lr,
@@ -133,6 +136,7 @@ def train(
     grad_accum: int = 1,
     verbose: bool = True,
 ) -> Dict:
+    check_grad_accum(batch_size, grad_accum)
     output_dir = Path(output_dir)
     write_training_config(output_dir, dict(
         data_dir=str(data_dir), output_dir=str(output_dir),

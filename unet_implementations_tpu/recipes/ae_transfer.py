@@ -22,6 +22,7 @@ from unet_implementations_tpu.data.loader import batch_iterator
 from unet_implementations_tpu.models.unet import encoder_param_names
 from unet_implementations_tpu.parallel import create_mesh
 from unet_implementations_tpu.recipes import our_unet
+from unet_implementations_tpu.recipes.common import check_grad_accum
 from unet_implementations_tpu.recipes.our_unet import (
     ARCH_CONFIG as _SEG_ARCH,
     build_model,
@@ -75,6 +76,7 @@ def train(
     grad_accum: int = 1,
     verbose: bool = True,
 ) -> Dict:
+    check_grad_accum(batch_size, grad_accum)
     output_dir = Path(output_dir)
     write_training_config(output_dir, dict(
         data_dir=str(data_dir), output_dir=str(output_dir),

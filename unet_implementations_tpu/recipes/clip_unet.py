@@ -33,7 +33,10 @@ from unet_implementations_tpu.models.clip import ClipFeatureExtractor
 from unet_implementations_tpu.models.unet import UNet
 from unet_implementations_tpu.parallel import create_mesh
 from unet_implementations_tpu.ops.tuning import inference_jit
-from unet_implementations_tpu.recipes.common import evaluate_segmentation
+from unet_implementations_tpu.recipes.common import (
+    check_grad_accum,
+    evaluate_segmentation,
+)
 from unet_implementations_tpu.recipes.our_unet import (
     ARCH_CONFIG as _SEG_ARCH,
     compute_static_weights,
@@ -229,6 +232,7 @@ def train(
     features LIVE from the augmented pixels (embeddings can't be cached when
     the pixels change each epoch — matching the reference's per-batch
     extraction, ``CLIP_UNet/src/train.py:714-719``)."""
+    check_grad_accum(batch_size, grad_accum)
     output_dir = Path(output_dir)
     write_training_config(output_dir, dict(
         data_dir=str(data_dir), output_dir=str(output_dir),

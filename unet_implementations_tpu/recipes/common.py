@@ -28,6 +28,20 @@ from unet_implementations_tpu.ops.losses import psnr as psnr_fn, ssim as ssim_fn
 from unet_implementations_tpu.ops.metrics import SegmentationMetrics
 
 
+def check_grad_accum(batch_size: int, grad_accum: int) -> None:
+    """Fail fast on an indivisible accumulation split — BEFORE dataset
+    loading and the (long) first-step compile. The train loops run with
+    drop_last, so every training batch is exactly ``batch_size`` and this
+    is the only way the microbatch split can fail."""
+    if grad_accum < 1:
+        raise ValueError(f"--grad_accum must be >= 1, got {grad_accum}")
+    if batch_size % grad_accum:
+        raise ValueError(
+            f"--grad_accum {grad_accum} does not divide --batch_size "
+            f"{batch_size} into equal microbatches"
+        )
+
+
 def _augment_key(seed: int, epoch: int, i: int) -> jax.Array:
     """Per-batch augmentation key — shared by BOTH online-augment wrappers
     so the plain and with-clip paths draw identical transforms for the same

@@ -26,7 +26,10 @@ from unet_implementations_tpu.data.loader import PetDataset, batch_iterator
 from unet_implementations_tpu.models.unet import UNet, unet_6stage
 from unet_implementations_tpu.parallel import create_mesh
 from unet_implementations_tpu.ops.tuning import inference_jit
-from unet_implementations_tpu.recipes.common import evaluate_segmentation
+from unet_implementations_tpu.recipes.common import (
+    check_grad_accum,
+    evaluate_segmentation,
+)
 from unet_implementations_tpu.training import (
     create_train_state,
     make_segmentation_eval_step,
@@ -143,6 +146,7 @@ def train(
     the route past the b32 single-chip HBM train ceiling
     (docs/PERFORMANCE.md): effective batch = batch_size with the live
     activation footprint of batch_size/grad_accum."""
+    check_grad_accum(batch_size, grad_accum)
     output_dir = Path(output_dir)
     write_training_config(output_dir, dict(
         data_dir=str(data_dir), output_dir=str(output_dir), batch_size=batch_size,
