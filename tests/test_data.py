@@ -381,3 +381,46 @@ class TestEvalProtocol:
         assert len(calls) == 1
         assert (tmp_path / "o1" / "visualizations"
                 / "confidence_batch0.png").exists()
+
+
+class TestEvaluateReconstruction:
+    def test_matches_bruteforce_oracle(self, tmp_path):
+        """The pipelined on-device metric path == per-image numpy oracle
+        (reference protocol: mean over per-image MSE/PSNR/SSIM,
+        AE_pretrained/reconstruction/src/evaluate.py)."""
+        import jax.numpy as jnp
+        from unet_implementations_tpu.ops.losses import psnr, ssim
+        from unet_implementations_tpu.recipes.common import (
+            evaluate_reconstruction,
+        )
+
+        root = tmp_path / "Test"
+        rng = np.random.default_rng(13)
+        (root / "resized").mkdir(parents=True)
+        for i in range(5):  # batch 2 -> two full + one tail batch
+            img = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+            cv2.imwrite(str(root / "resized" / f"img_{i}.jpg"), img)
+
+        ds = PetDataset(root / "resized", None, include_augmented=False,
+                        mode="reconstruction", target_size=(64, 64))
+
+        def recon_fn(batch):  # deterministic pseudo-model: dimmed input
+            return jnp.asarray(batch["image"]) * 0.9
+
+        res = evaluate_reconstruction(recon_fn, ds, batch_size=2,
+                                      output_dir=tmp_path / "out",
+                                      verbose=False)
+
+        mses, psnrs, ssims = [], [], []
+        for batch in batch_iterator(ds, 1, shuffle=False, num_threads=1):
+            r = np.asarray(batch["image"], np.float32) * 0.9
+            t = np.asarray(batch["target"], np.float32)
+            mses.append(float(np.mean((r - t) ** 2)))
+            psnrs.append(float(psnr(jnp.asarray(r), jnp.asarray(t))[0]))
+            ssims.append(float(ssim(jnp.asarray(r), jnp.asarray(t))[0]))
+
+        assert res["num_images"] == 5
+        assert res["mse"] == pytest.approx(np.mean(mses), rel=1e-5)
+        assert res["psnr"] == pytest.approx(np.mean(psnrs), rel=1e-5)
+        assert res["ssim"] == pytest.approx(np.mean(ssims), rel=1e-5)
+        assert (tmp_path / "out" / "reconstruction_metrics.json").exists()

@@ -396,23 +396,42 @@ def predict_segmentation(
 
 
 def evaluate_reconstruction(
-    recon_fn: Callable[[Dict], np.ndarray],
+    recon_fn: Callable[[Dict], jax.Array],
     dataset: PetDataset,
     batch_size: int = 32,
     output_dir: Optional[str | Path] = None,
     num_threads: int = 8,
     verbose: bool = True,
 ) -> Dict:
-    """Per-image MSE/PSNR/SSIM over the test set → ``reconstruction_metrics.json``."""
+    """Per-image MSE/PSNR/SSIM over the test set → ``reconstruction_metrics.json``.
+
+    Same dispatch discipline as ``evaluate_segmentation``: the three metrics
+    are ONE jitted device computation per batch (no reconstruction tensor
+    ever crosses to the host), and the loop runs ahead of the device by a
+    bounded window so the next batch's forward overlaps pulling the previous
+    batch's per-image scalars."""
+
+    @jax.jit
+    def _metrics(recon, target):
+        diff = (recon - target).astype(jnp.float32)
+        return (jnp.mean(diff**2, axis=(1, 2, 3)),
+                psnr_fn(recon, target), ssim_fn(recon, target))
+
     mses, psnrs, ssims = [], [], []
+    pending: deque = deque()
+
+    def drain(limit: int) -> None:
+        while len(pending) > limit:
+            m, p, s = pending.popleft()
+            mses.extend(np.asarray(m).tolist())
+            psnrs.extend(np.asarray(p).tolist())
+            ssims.extend(np.asarray(s).tolist())
+
     for batch in batch_iterator(dataset, batch_size, shuffle=False,
                                 num_threads=num_threads):
-        recon = jnp.asarray(np.asarray(recon_fn(batch)))
-        target = jnp.asarray(batch["target"])
-        diff = np.asarray(recon - target)
-        mses.extend(np.mean(diff**2, axis=(1, 2, 3)).tolist())
-        psnrs.extend(np.asarray(psnr_fn(recon, target)).tolist())
-        ssims.extend(np.asarray(ssim_fn(recon, target)).tolist())
+        pending.append(_metrics(recon_fn(batch), jnp.asarray(batch["target"])))
+        drain(2)
+    drain(0)
 
     results = {
         "mse": float(np.mean(mses)),
