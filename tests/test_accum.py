@@ -249,3 +249,13 @@ class TestAccumRecipe:
             with pytest.raises(ValueError, match="does not divide"):
                 mod.train(missing, tmp_path / "out", batch_size=4,
                           grad_accum=3, verbose=False, **kw)
+
+    def test_uneven_mesh_layout_warns(self, capsys):
+        # Correct but degraded: microbatch not a multiple of the device
+        # count reshards every scan iteration — warn, don't refuse.
+        from unet_implementations_tpu.recipes.common import check_grad_accum
+
+        check_grad_accum(16, 8, use_mesh=True)  # micro 2 on 8 devices
+        assert "does not" in capsys.readouterr().out
+        check_grad_accum(16, 2, use_mesh=True)  # micro 8 on 8 devices
+        assert capsys.readouterr().out == ""

@@ -23,6 +23,9 @@ REPO = Path(__file__).resolve().parent.parent
 
 
 def _free_port() -> int:
+    # Close-then-rebind race: another process could steal the port before
+    # worker 0's coordinator binds it. Acceptable for this suite (serial
+    # runner); a collision fails loudly in the worker output, not silently.
     with socket.socket() as s:
         s.bind(("localhost", 0))
         return s.getsockname()[1]

@@ -329,3 +329,10 @@ class TestSpatialPredict:
         with pytest.raises(ValueError, match="spatial"):
             predict_segmentation(art, tmp_path, tmp_path / "o",
                                  spatial=2, verbose=False)
+
+
+def test_mesh_rejects_nonpositive_space():
+    from unet_implementations_tpu.parallel import create_mesh_dp_sp
+
+    with pytest.raises(ValueError, match=">= 1"):
+        create_mesh_dp_sp(0)

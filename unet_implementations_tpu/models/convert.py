@@ -267,8 +267,11 @@ def export_torch_checkpoint(
         {"clip_features": jnp.zeros((1, model.clip_dim))}
         if model.clip_fusion else {}
     )
-    abstract = model.init(
-        jax.random.key(0), jnp.zeros((1, 64, 64, 3)), **kwargs
+    # eval_shape: restore_params only needs shapes/structure — materializing
+    # ~30M real init values to immediately overwrite them is wasted startup.
+    abstract = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)),
+                           **kwargs)
     )["params"]
     params = restore_params(checkpoint_path, abstract)
     sd = {

@@ -82,9 +82,11 @@ def create_mesh_dp_sp(
     """
     if devices is None:
         devices = jax.devices()
+    if n_space < 1:
+        raise ValueError(f"n_space must be >= 1, got {n_space}")
     if n_data is None:
         n_data = len(devices) // n_space
-    if n_space < 1 or n_data < 1:
+    if n_data < 1:
         raise ValueError(
             f"need at least n_space={n_space} devices for spatial "
             f"partitioning (have {len(devices)}; data={n_data})"

@@ -76,7 +76,7 @@ def train(
     grad_accum: int = 1,
     verbose: bool = True,
 ) -> Dict:
-    check_grad_accum(batch_size, grad_accum)
+    check_grad_accum(batch_size, grad_accum, use_mesh=use_mesh)
     output_dir = Path(output_dir)
     write_training_config(output_dir, dict(
         data_dir=str(data_dir), output_dir=str(output_dir),

@@ -232,7 +232,7 @@ def train(
     features LIVE from the augmented pixels (embeddings can't be cached when
     the pixels change each epoch — matching the reference's per-batch
     extraction, ``CLIP_UNet/src/train.py:714-719``)."""
-    check_grad_accum(batch_size, grad_accum)
+    check_grad_accum(batch_size, grad_accum, use_mesh=use_mesh)
     output_dir = Path(output_dir)
     write_training_config(output_dir, dict(
         data_dir=str(data_dir), output_dir=str(output_dir),

@@ -28,11 +28,19 @@ from unet_implementations_tpu.ops.losses import psnr as psnr_fn, ssim as ssim_fn
 from unet_implementations_tpu.ops.metrics import SegmentationMetrics
 
 
-def check_grad_accum(batch_size: int, grad_accum: int) -> None:
+def check_grad_accum(
+    batch_size: int, grad_accum: int, use_mesh: bool = False
+) -> None:
     """Fail fast on an indivisible accumulation split — BEFORE dataset
     loading and the (long) first-step compile. The train loops run with
     drop_last, so every training batch is exactly ``batch_size`` and this
-    is the only way the microbatch split can fail."""
+    is the only way the microbatch split can fail.
+
+    With ``use_mesh``, additionally warns when the microbatch does not
+    divide the device count: that layout is CORRECT but uneven (XLA
+    reshards inside every scan iteration — ``training/steps.py``). The
+    device query happens AFTER argument validation so a bad flag pair
+    fails instantly even when backend init would hang (tunnel outage)."""
     if grad_accum < 1:
         raise ValueError(f"--grad_accum must be >= 1, got {grad_accum}")
     if batch_size % grad_accum:
@@ -40,6 +48,16 @@ def check_grad_accum(batch_size: int, grad_accum: int) -> None:
             f"--grad_accum {grad_accum} does not divide --batch_size "
             f"{batch_size} into equal microbatches"
         )
+    if use_mesh and grad_accum > 1:
+        n_devices = jax.device_count()
+        if (batch_size // grad_accum) % n_devices:
+            print(
+                f"WARNING: microbatch {batch_size // grad_accum} "
+                f"(batch {batch_size} / accum {grad_accum}) does not "
+                f"divide the {n_devices}-device mesh — every scan "
+                f"iteration will reshard; prefer batch_size/grad_accum "
+                f"a multiple of {n_devices}."
+            )
 
 
 def _augment_key(seed: int, epoch: int, i: int) -> jax.Array:

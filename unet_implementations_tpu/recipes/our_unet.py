@@ -146,7 +146,7 @@ def train(
     the route past the b32 single-chip HBM train ceiling
     (docs/PERFORMANCE.md): effective batch = batch_size with the live
     activation footprint of batch_size/grad_accum."""
-    check_grad_accum(batch_size, grad_accum)
+    check_grad_accum(batch_size, grad_accum, use_mesh=use_mesh)
     output_dir = Path(output_dir)
     write_training_config(output_dir, dict(
         data_dir=str(data_dir), output_dir=str(output_dir), batch_size=batch_size,
