@@ -157,3 +157,60 @@ class TestDenseUpFoldActive:
         hits = [s for s in self.HALF_INTERLEAVED if s in txt]
         assert hits == [], (
             f"dense-level upsample rematerialized (interleave shapes {hits})")
+
+
+class TestDenseFoldPerMode:
+    """Round-4 per-mode gate: on a TPU backend with NO env overrides, the
+    dense-level fold traces into inference jits (deterministic=True) but
+    NOT into training jits (deterministic=False) — same-day isolation on
+    v5e showed +4.5% inference / −6% train (scratch/measure_r3.log,
+    docs/PERFORMANCE.md). Backend is faked; the policy functions read it
+    at trace time, so the lowering is the real per-mode program."""
+
+    def _lower(self, deterministic):
+        model = unet_6stage(dtype=jnp.bfloat16)
+        x = jnp.zeros((2, 512, 512, 3), jnp.bfloat16)
+        shapes = jax.eval_shape(
+            lambda: model.init(jax.random.key(0), x))["params"]
+        params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+        def loss_fn(p, x):
+            out = model.apply(
+                {"params": p}, x, deterministic=deterministic,
+                rngs=None if deterministic else {"dropout": jax.random.key(1)},
+            )
+            return jnp.sum(out.astype(jnp.float32))
+
+        fwd = jax.jit(
+            lambda p, x: model.apply(
+                {"params": p}, x, deterministic=deterministic,
+                rngs=None if deterministic else {"dropout": jax.random.key(1)},
+            )
+        ).lower(params, x).as_text()
+        bwd = jax.jit(jax.grad(loss_fn)).lower(params, x).as_text()
+        return fwd, bwd
+
+    @pytest.fixture
+    def tpu_defaults(self, monkeypatch):
+        for var in ("UNET_TPU_S2D_UP_FOLD", "UNET_TPU_DENSE_UP_FOLD"):
+            monkeypatch.delenv(var, raising=False)
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        return monkeypatch
+
+    def test_inference_jit_has_dense_fold(self, tpu_defaults):
+        fwd, _ = self._lower(deterministic=True)
+        outs = _conv_out_shapes(fwd)
+        for want in TestDenseUpFoldActive.FOLD_CONVS:
+            assert any(s.startswith(want) for s in outs), (
+                f"inference jit lost the dense fold ({want} missing)")
+
+    def test_train_jit_has_no_dense_fold(self, tpu_defaults):
+        fwd, bwd = self._lower(deterministic=False)
+        for txt, name in ((fwd, "forward"), (bwd, "backward")):
+            outs = _conv_out_shapes(txt)
+            hits = [s for s in outs
+                    for want in TestDenseUpFoldActive.FOLD_CONVS
+                    if s.startswith(want)]
+            assert hits == [], (
+                f"dense fold traced into the train-{name} program: {hits} — "
+                f"it regresses the train step 6% (docs/PERFORMANCE.md)")

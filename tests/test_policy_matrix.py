@@ -39,9 +39,12 @@ class TestDefaultTPUConfiguration:
 
     def test_folds_on_pallas_off(self, clean_env):
         _fake_backend(clean_env, "tpu")
-        # Both upsample->conv folds ON (the round-2 headline wins).
+        # s2d-level fold ON for both modes (round-2 win: helped train AND
+        # inference); dense-level fold PER-MODE — inference jits only
+        # (round-3 same-day isolation: +4.5% infer, −6% train).
         assert s2d.up_fold_enabled() is True
-        assert s2d.dense_up_fold_enabled() is True
+        assert s2d.dense_up_fold_enabled(deterministic=True) is True
+        assert s2d.dense_up_fold_enabled(deterministic=False) is False
         # Pallas upsample kernels OFF (measured end-to-end loss: relayout
         # copies around the custom call — docs/PERFORMANCE.md).
         assert up_k._enabled("s2d") is False
@@ -59,7 +62,8 @@ class TestDefaultTPUConfiguration:
     def test_axon_tunnel_counts_as_tpu(self, clean_env):
         _fake_backend(clean_env, "axon")
         assert s2d.up_fold_enabled() is True
-        assert s2d.dense_up_fold_enabled() is True
+        assert s2d.dense_up_fold_enabled(deterministic=True) is True
+        assert s2d.dense_up_fold_enabled(deterministic=False) is False
 
 
 class TestDefaultCPUConfiguration:
@@ -68,7 +72,8 @@ class TestDefaultCPUConfiguration:
     def test_everything_off(self, clean_env):
         _fake_backend(clean_env, "cpu")
         assert s2d.up_fold_enabled() is False
-        assert s2d.dense_up_fold_enabled() is False
+        assert s2d.dense_up_fold_enabled(deterministic=True) is False
+        assert s2d.dense_up_fold_enabled(deterministic=False) is False
         assert up_k._enabled("s2d") is False
         assert up_k._enabled("dense") is False
 
@@ -81,11 +86,16 @@ class TestOverrides:
         clean_env.setenv("UNET_TPU_S2D_UP_FOLD", "0")
         assert s2d.up_fold_enabled() is False
         # dense fold FOLLOWS the s2d policy unless overridden itself...
-        assert s2d.dense_up_fold_enabled() is False
-        # ...and its own var takes precedence over the fallback.
+        assert s2d.dense_up_fold_enabled(deterministic=True) is False
+        # ...and its own var takes precedence over the fallback AND over
+        # the per-mode split (explicit override forces BOTH modes — the
+        # hardware-ablation contract).
         clean_env.setenv("UNET_TPU_DENSE_UP_FOLD", "1")
-        assert s2d.dense_up_fold_enabled() is True
+        assert s2d.dense_up_fold_enabled(deterministic=True) is True
+        assert s2d.dense_up_fold_enabled(deterministic=False) is True
         assert s2d.up_fold_enabled() is False
+        clean_env.setenv("UNET_TPU_DENSE_UP_FOLD", "0")
+        assert s2d.dense_up_fold_enabled(deterministic=True) is False
 
     def test_cpu_can_opt_in(self, clean_env):
         _fake_backend(clean_env, "cpu")

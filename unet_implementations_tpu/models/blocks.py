@@ -25,6 +25,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from unet_implementations_tpu.ops.quant import qconv
+
 # torch kaiming_normal_(mode='fan_out', nonlinearity='leaky_relu') with the
 # default a=0 gives gain²=2 → variance_scaling(2.0, fan_out, normal).
 kaiming_fan_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
@@ -162,7 +164,7 @@ class ConvOp(nn.Module):
             y, base = None, 0
             for xi in x:
                 cs = xi.shape[-1]
-                yi = jax.lax.conv_general_dilated(
+                yi = qconv(
                     xi.astype(self.dtype),
                     kernel[:, :, base:base + cs, :].astype(self.dtype),
                     (1, 1), [(pad, pad), (pad, pad)],
@@ -188,7 +190,7 @@ class ConvOp(nn.Module):
                 bias.astype(self.dtype), in_segments=self.s2d_segments,
             )
         pad = k // 2
-        y = jax.lax.conv_general_dilated(
+        y = qconv(
             x.astype(self.dtype),
             kernel.astype(self.dtype),
             (self.stride, self.stride),
@@ -334,9 +336,13 @@ class UpBlock(nn.Module):
 
                     # Fold the upsample into conv_0 (models/s2d.py::
                     # conv_dense_up_fold) — no lerp machinery, MAC-neutral.
+                    # Per-mode: inference-only by default (the fold's d2s
+                    # transpose-gradient regresses the train step, see
+                    # dense_up_fold_enabled). Trace-time resolution: train
+                    # and eval are separate jits, each sees its own policy.
                     # The border-strip recompute needs ≥ 3 coarse rows/cols.
                     dense_fold = (
-                        dense_up_fold_enabled()
+                        dense_up_fold_enabled(deterministic)
                         and self.kernel_size == 3
                         and x.shape[1] >= 3
                         and x.shape[2] >= 3

@@ -37,6 +37,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from unet_implementations_tpu.ops.quant import qconv
+
 
 def space_to_depth(x: jax.Array, factor: int = 2) -> jax.Array:
     """(B, H, W, C) → (B, H/f, W/f, f²*C), q-major channel layout."""
@@ -142,7 +144,7 @@ def conv_s2d_to_dense_stride2(
 ) -> jax.Array:
     """Stride-2 3×3 conv taking an s2d input, emitting a DENSE half-res map."""
     kt = transform_kernel_stride2(kernel)
-    y = jax.lax.conv_general_dilated(
+    y = qconv(
         x, kt, (1, 1), [(1, 0), (1, 0)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
@@ -167,7 +169,7 @@ def conv_s2d(
     """
     kt = transform_kernel(kernel, in_segments)
     pad = kt.shape[0] // 2
-    y = jax.lax.conv_general_dilated(
+    y = qconv(
         x, kt, (1, 1), [(pad, pad), (pad, pad)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
@@ -194,7 +196,7 @@ def conv_s2d_multi(
     for x, cs in zip(xs, segments):
         kt = transform_kernel(kernel[:, :, base:base + cs, :])
         pad = kt.shape[0] // 2
-        yi = jax.lax.conv_general_dilated(
+        yi = qconv(
             x, kt, (1, 1), [(pad, pad), (pad, pad)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
@@ -288,7 +290,7 @@ def _up_contrib_strip(x3: jax.Array, kernel: jax.Array, axis: int,
     """
     up = upsample2x_into_s2d(x3)
     kt = transform_kernel(kernel)
-    y = jax.lax.conv_general_dilated(
+    y = qconv(
         up, kt, (1, 1), [(1, 1), (1, 1)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
@@ -316,25 +318,34 @@ def conv_up_fold(x: jax.Array, kernel: jax.Array) -> jax.Array:
             f"reference upsample path below that."
         )
     kf = fold_up_kernel(kernel)
-    y = jax.lax.conv_general_dilated(
+    y = qconv(
         x, kf, (1, 1), [(1, 1), (1, 1)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
     # Border frame, reference path. Row strips use the full W context (and
     # W zero-padding), so they are exact including corners; col strips
-    # likewise use full H context.
+    # likewise use full H context — so the corner pixels are exact in BOTH
+    # and the frame can be assembled either way. Assembly is by CONCAT, not
+    # dynamic_update_slice: the round-4 post-fold HLO profile
+    # (scratch/measure_r4.log) ranked the four in-place border writes as
+    # the program's #1 residual HBM group (~34 GB analytic across the five
+    # decoder levels at b128 — each update rewrites the full tensor);
+    # concatenation of the interior with the strips is pure addressing.
     top = _up_contrib_strip(x[:, 0:3], kernel, 1, 0)
     bot = _up_contrib_strip(x[:, h - 3:], kernel, 1, 2)
     left = _up_contrib_strip(x[:, :, 0:3], kernel, 2, 0)
     right = _up_contrib_strip(x[:, :, w - 3:], kernel, 2, 2)
-    y = jax.lax.dynamic_update_slice_in_dim(y, top.astype(y.dtype), 0, axis=1)
-    y = jax.lax.dynamic_update_slice_in_dim(
-        y, bot.astype(y.dtype), h - 1, axis=1)
-    y = jax.lax.dynamic_update_slice_in_dim(
-        y, left.astype(y.dtype), 0, axis=2)
-    y = jax.lax.dynamic_update_slice_in_dim(
-        y, right.astype(y.dtype), w - 1, axis=2)
-    return y
+    mid = jnp.concatenate(
+        [
+            left[:, 1:h - 1].astype(y.dtype),
+            y[:, 1:h - 1, 1:w - 1],
+            right[:, 1:h - 1].astype(y.dtype),
+        ],
+        axis=2,
+    )
+    return jnp.concatenate(
+        [top.astype(y.dtype), mid, bot.astype(y.dtype)], axis=1
+    )
 
 
 def up_fold_enabled() -> bool:
@@ -370,7 +381,7 @@ def conv_s2d_multi_up_fold(
     for xi, cs in zip(rest, segments[1:]):
         kt = transform_kernel(kernel[:, :, base:base + cs, :])
         pad = kt.shape[0] // 2
-        yi = jax.lax.conv_general_dilated(
+        yi = qconv(
             xi, kt, (1, 1), [(pad, pad), (pad, pad)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
@@ -379,17 +390,26 @@ def conv_s2d_multi_up_fold(
     return y + s2d_bias(bias).astype(y.dtype)
 
 
-def dense_up_fold_enabled() -> bool:
+def dense_up_fold_enabled(deterministic: bool = True) -> bool:
     """Policy for the DENSE-level upsample fold (``conv_dense_up_fold``).
-    Follows ``up_fold_enabled`` unless overridden independently with
-    ``UNET_TPU_DENSE_UP_FOLD=0|1`` (kept separate so the two folds can be
-    ablated in isolation on hardware)."""
+
+    PER-MODE: default ON only for inference/eval jits (``deterministic=True``)
+    on TPU backends, OFF for training jits. Same-day isolation on TPU v5e
+    (scratch/measure_r3.log, 2026-08-19): the fold helps inference +4.5%
+    (641.9 vs 614.5 img/s/chip at b128) but regresses the train step −6%
+    (159.1 vs 169.3 img/s at b32) — the extra depth_to_space of conv_0's
+    output is free in the forward-only program but its transpose-gradient
+    (a space_to_depth of the incoming cotangent on the fine grid) stacks
+    onto the backward pass's HBM high-water path. ``UNET_TPU_DENSE_UP_FOLD=
+    0|1`` still forces BOTH modes (hardware ablations); unset → per-mode.
+    The s2d-level fold (``up_fold_enabled``) stays mode-agnostic: it
+    measured a win for both (632/164 vs 516/129.6, round 2)."""
     import os
 
     v = os.environ.get("UNET_TPU_DENSE_UP_FOLD")
     if v is not None:
         return v not in ("0", "false", "")
-    return up_fold_enabled()
+    return deterministic and up_fold_enabled()
 
 
 def conv_dense_up_fold(
@@ -417,7 +437,7 @@ def conv_dense_up_fold(
     pad = kernel.shape[0] // 2
     for xi in rest:
         cs = xi.shape[-1]
-        yi = jax.lax.conv_general_dilated(
+        yi = qconv(
             xi, kernel[:, :, base:base + cs, :], (1, 1),
             [(pad, pad), (pad, pad)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),

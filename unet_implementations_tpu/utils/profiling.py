@@ -38,11 +38,13 @@ __all__ = [
     "summarize",
 ]
 
-# Measured on the v5e chip used for all benchmarks (docs/PERFORMANCE.md):
-# best-case conv/matmul throughput ~88-122 TF/s bf16 → 100 TF/s roofline;
-# elementwise/reduce HBM streams measured 190-450 GB/s → 450 GB/s roofline.
-DEFAULT_FLOPS_CEILING = 100e12
-DEFAULT_BW_CEILING = 450e9
+# Measured on the v5e chip used for all benchmarks (docs/PERFORMANCE.md,
+# re-baselined round 4 / 2026-08-19, scratch/ceilings_r4.py): best-case
+# conv 119 TF/s / 8192^3 matmul 143 TF/s bf16, model-shape convs 62-84
+# TF/s → 110 TF/s roofline; elementwise HBM stream 556 GB/s, IN-style
+# stats+norm 230 GB/s eff → 550 GB/s roofline.
+DEFAULT_FLOPS_CEILING = 110e12
+DEFAULT_BW_CEILING = 550e9
 
 _DTYPE_BYTES = {
     "pred": 1, "s8": 1, "u8": 1, "s4": 1, "u4": 1, "f8e4m3": 1, "f8e5m2": 1,
