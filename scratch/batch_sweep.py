@@ -1,3 +1,6 @@
+import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 """Train batch re-sweep post-fold: b32..b96 x remat, + grad-accum legs.
 
 VERDICT round-2 #8: the b32 HBM ceiling and the remat-neutral result

@@ -15,6 +15,8 @@ Run on TPU:  python scratch/post_fold_profile.py
 """
 
 import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
