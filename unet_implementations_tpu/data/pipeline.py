@@ -261,6 +261,30 @@ def create_clip_resized(
     return n
 
 
+def resolve_raw_layout(raw_dir: str | Path) -> Tuple[Path, Path, Path]:
+    """Locate the trainval and test splits under a raw archive directory.
+
+    The REAL Drive archive (``Data_filtered.tar``) untars to
+    ``Dataset_filtered/{TrainVal,Test}/{color,label}`` — the reference's
+    ``--raw-dir`` default points inside it
+    (``preprocess_dataset.py:75-78``) and reads ``TrainVal``
+    (``preprocess_dataset.py:512``). Accepted here, in order:
+
+    - ``raw_dir/Dataset_filtered/...`` (pointing at the extraction root)
+    - ``raw_dir/TrainVal`` (pointing inside the archive, like the reference)
+    - ``raw_dir/Train`` (the simplified fixture layout)
+
+    Returns ``(root, trainval_dir, test_dir)``.
+    """
+    root = Path(raw_dir)
+    if (root / "Dataset_filtered").is_dir():
+        root = root / "Dataset_filtered"
+    trainval = root / "TrainVal"
+    if not trainval.is_dir():
+        trainval = root / "Train"
+    return root, trainval, root / "Test"
+
+
 def run_pipeline(
     raw_dir: str | Path,
     processed_dir: str | Path,
@@ -271,13 +295,16 @@ def run_pipeline(
 ) -> Dict:
     """End-to-end offline pipeline: raw → processed directory schema.
 
-    Expects ``raw_dir/{Train,Test}/{color,label}`` (the layout the reference
-    untars from its Drive archive; any acquisition path works — P1's gdown is
-    environment-specific and intentionally not replicated).
+    ``raw_dir`` layouts accepted: the real Drive archive's extraction root
+    (``Dataset_filtered/{TrainVal,Test}/{color,label}`` — see
+    ``resolve_raw_layout``) or the simplified ``{Train,Test}/{color,label}``
+    fixture layout. Any acquisition path works — P1's gdown is
+    environment-specific and intentionally not replicated.
     """
     raw_dir, processed_dir = Path(raw_dir), Path(processed_dir)
-    train_imgs = sorted((raw_dir / "Train" / "color").glob("*.jpg"))
-    train_masks = sorted((raw_dir / "Train" / "label").glob("*.png"))
+    raw_dir, trainval_dir, test_dir = resolve_raw_layout(raw_dir)
+    train_imgs = sorted((trainval_dir / "color").glob("*.jpg"))
+    train_masks = sorted((trainval_dir / "label").glob("*.png"))
 
     corrupt = {
         p.stem for p in train_imgs if is_image_corrupt(p)
@@ -299,8 +326,8 @@ def run_pipeline(
             val_pairs, processed_dir / "Val", target_size, is_train=False
         ),
     }
-    test_imgs = sorted((raw_dir / "Test" / "color").glob("*.jpg"))
-    test_masks = {p.stem: p for p in sorted((raw_dir / "Test" / "label").glob("*.png"))}
+    test_imgs = sorted((test_dir / "color").glob("*.jpg"))
+    test_masks = {p.stem: p for p in sorted((test_dir / "label").glob("*.png"))}
     test_pairs = [(p, test_masks[p.stem]) for p in test_imgs if p.stem in test_masks]
     stats["test"] = preprocess_split(
         test_pairs, processed_dir / "Test", target_size, is_train=False
