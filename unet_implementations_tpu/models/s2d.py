@@ -324,28 +324,26 @@ def conv_up_fold(x: jax.Array, kernel: jax.Array) -> jax.Array:
     )
     # Border frame, reference path. Row strips use the full W context (and
     # W zero-padding), so they are exact including corners; col strips
-    # likewise use full H context — so the corner pixels are exact in BOTH
-    # and the frame can be assembled either way. Assembly is by CONCAT, not
-    # dynamic_update_slice: the round-4 post-fold HLO profile
-    # (scratch/measure_r4.log) ranked the four in-place border writes as
-    # the program's #1 residual HBM group (~34 GB analytic across the five
-    # decoder levels at b128 — each update rewrites the full tensor);
-    # concatenation of the interior with the strips is pure addressing.
+    # likewise use full H context. Assembly choice MEASURED (round 4): the
+    # post-fold HLO profile ranked these four in-place writes as the #1
+    # residual HBM group (~34 GB analytic at b128, each update nominally
+    # rewriting the full tensor), so a concat-frame variant was built and
+    # benched — 639.0/167.7 vs 642.7/169.2 img/s, i.e. NO win: XLA already
+    # elides the in-place updates (the analytic roofline overstates them).
+    # dynamic_update_slice kept as the measured-best lowering;
+    # scratch/measure_r4.log has both legs.
     top = _up_contrib_strip(x[:, 0:3], kernel, 1, 0)
     bot = _up_contrib_strip(x[:, h - 3:], kernel, 1, 2)
     left = _up_contrib_strip(x[:, :, 0:3], kernel, 2, 0)
     right = _up_contrib_strip(x[:, :, w - 3:], kernel, 2, 2)
-    mid = jnp.concatenate(
-        [
-            left[:, 1:h - 1].astype(y.dtype),
-            y[:, 1:h - 1, 1:w - 1],
-            right[:, 1:h - 1].astype(y.dtype),
-        ],
-        axis=2,
-    )
-    return jnp.concatenate(
-        [top.astype(y.dtype), mid, bot.astype(y.dtype)], axis=1
-    )
+    y = jax.lax.dynamic_update_slice_in_dim(y, top.astype(y.dtype), 0, axis=1)
+    y = jax.lax.dynamic_update_slice_in_dim(
+        y, bot.astype(y.dtype), h - 1, axis=1)
+    y = jax.lax.dynamic_update_slice_in_dim(
+        y, left.astype(y.dtype), 0, axis=2)
+    y = jax.lax.dynamic_update_slice_in_dim(
+        y, right.astype(y.dtype), w - 1, axis=2)
+    return y
 
 
 def up_fold_enabled() -> bool:
