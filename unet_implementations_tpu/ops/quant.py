@@ -22,9 +22,10 @@ stack. Keep the mode for one-command re-measurement when libtpu moves:
 Policy (resolved at TRACE time, like the fold gates in ``models/s2d.py``):
 
 - ``UNET_TPU_CONV_FP8`` — unset/empty/``off`` (default): pure bf16.
-  An integer ``N``: fp8 only for convs whose output spatial grid is
-  ≥ N×N (selectivity follows the probe: big grids win, 32² grids are
-  par-to-worse). ``all``/``0``: every conv.
+  An integer ``N``: fp8 only for convs whose INPUT spatial grid is
+  ≥ N×N — the input edge tracks the work size, see the check in
+  :func:`qconv` (selectivity follows the probe: big grids win, 32²
+  grids are par-to-worse). ``all``/``0``: every conv.
 - ``UNET_TPU_CONV_FP8_DTYPE`` — ``e5m2`` (default; fastest at the dominant
   shape, 2 mantissa bits) or ``e4m3`` (3 mantissa bits, ~half the rounding
   error, measured equal at the dominant shape).
