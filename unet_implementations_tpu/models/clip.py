@@ -10,7 +10,12 @@ token + positional embeddings → pre-LN transformer with QuickGELU → ln_post
 → projection), with a converter from an OpenAI/open_clip torch ``state_dict``
 (``load_torch_clip_weights``) since this environment has no network egress to
 fetch pretrained weights. Without weights the encoder runs randomly
-initialized — functionally complete, documented as non-pretrained. The
+initialized — functionally complete, documented as non-pretrained. The tower
+AND the converter are verified full-stack against HuggingFace's independent
+torch CLIP implementation at real ViT-B/16 size: a checkpoint in the exact
+OpenAI ``visual.*`` key schema round-trips through the converter and our
+``image_embeds`` match torch's (``tests/test_clip.py::TestHFOracle``) — a
+real ``ViT-B-16.pt`` differs only in the parameter values. The
 fusion path itself is exercised either way, and the reference's published
 CLIP eval ran *without* CLIP conditioning anyway (``CLIP_UNet/src/
 evaluate.py`` passes no features).
