@@ -7,6 +7,13 @@ Primary metric is inference throughput at 512² in bf16 (north-star target:
 >=2000 images/sec/chip on v5e — BASELINE.md). ``vs_baseline`` is the ratio
 against that 2000 img/s/chip target. The train-step rate (reference GPU
 baseline ~54 img/s, BASELINE.md) is reported on stderr as a secondary metric.
+
+Modes:
+  python bench.py                      # single JSON line (driver contract)
+  python bench.py --assert-baseline    # + regression guard vs BENCH_baseline.json
+                                       #   (tolerance read from that file)
+  python bench.py --multichip          # 1-chip vs N-chip scaling efficiency,
+                                       #   writes MULTICHIP_BENCH.json
 """
 
 import json
@@ -32,7 +39,6 @@ def init_devices_or_bail(timeout_s: float = 300.0):
     honest zero-valued JSON line naming the outage (the last committed
     on-hardware measurement lives in BENCH_baseline.json) and exit.
     """
-    import os
     import threading
 
     timeout_s = float(os.environ.get("BENCH_INIT_TIMEOUT_S", timeout_s))
@@ -96,7 +102,13 @@ def time_chained(step_fn, x0, iters=10):
     return (time.perf_counter() - start) / iters
 
 
-def main():
+def measure(devices):
+    """Chained inference + train-step throughput over exactly ``devices``.
+
+    Returns per-chip rates; with >1 device the batch shards on a 1-D data
+    mesh built over that device list (so ``--multichip`` can compare a
+    1-chip mesh against the full mesh on the same hardware).
+    """
     from unet_implementations_tpu.data.synthetic import synthetic_batch
     from unet_implementations_tpu.models.unet import unet_6stage
     from unet_implementations_tpu.training import (
@@ -105,11 +117,7 @@ def main():
         sgd_nesterov,
     )
 
-    devices = init_devices_or_bail()
     n_chips = len(devices)
-    log(f"devices: {devices}")
-
-    import os
 
     # Per-chip batch sizes; with n chips the global batch scales and shards
     # over a 1-D data mesh (parallel/mesh.py) — XLA rides ICI. Env overrides
@@ -134,17 +142,20 @@ def main():
 
     mesh = None
     if n_chips > 1:
-        from unet_implementations_tpu.parallel import (
-            create_mesh,
-            replicate,
-            shard_batch,
-        )
+        from jax.sharding import Mesh
 
-        mesh = create_mesh()
+        from unet_implementations_tpu.parallel import replicate, shard_batch
+
+        mesh = Mesh(np.asarray(devices), ("data",))
         image = shard_batch(image, mesh)
         mask = shard_batch(mask, mesh)
         infer_image = shard_batch(infer_image, mesh)
         params = replicate(params, mesh)
+    elif len(jax.devices()) > 1:
+        # Single-chip leg of --multichip on a multi-device backend: pin
+        # arrays to devices[0] so the comparison is 1 chip vs N chips.
+        image, mask, infer_image, params = jax.device_put(
+            (image, mask, infer_image, params), devices[0])
 
     from unet_implementations_tpu.ops.tuning import inference_jit
 
@@ -154,7 +165,7 @@ def main():
         out = model.apply({"params": params}, img, deterministic=True)
         return out.astype(jnp.bfloat16) * 0.01
 
-    log("compiling inference...")
+    log(f"compiling inference ({n_chips} chip{'s' if n_chips > 1 else ''})...")
     try:
         dt = time_chained(infer_step, infer_image, iters=10)
     except Exception as e:  # e.g. HBM pressure on a busy chip — don't lose the round
@@ -174,7 +185,11 @@ def main():
         sgd_nesterov(),
     )
     if mesh is not None:
+        from unet_implementations_tpu.parallel import replicate
+
         state = replicate(state, mesh)
+    elif len(jax.devices()) > 1:
+        state = jax.device_put(state, devices[0])
     train_step = make_segmentation_train_step(donate=False)
     batch = {"image": image, "mask": mask}
     rng = jax.random.key(1)
@@ -191,29 +206,87 @@ def main():
     log(f"train step: {dt_train * 1e3:.2f} ms/batch{batch_size} -> "
         f"{train_ips:.1f} images/sec/chip (reference GPU baseline ~54)")
 
+    return {
+        "inference": float(infer_ips),
+        "train": float(train_ips),
+        "inference_batch": infer_batch,
+        "train_batch": batch_size,
+        "n_chips": n_chips,
+    }
+
+
+def main():
+    devices = init_devices_or_bail()
+    log(f"devices: {devices}")
+    m = measure(devices)
+
     print(json.dumps({
         "metric": "unet6_512px_bf16_inference_throughput",
-        "value": round(float(infer_ips), 2),
+        "value": round(m["inference"], 2),
         "unit": "images/sec/chip",
-        "vs_baseline": round(float(infer_ips) / 2000.0, 4),
+        "vs_baseline": round(m["inference"] / 2000.0, 4),
         "secondary": {
-            "train_step_images_per_sec_per_chip": round(float(train_ips), 2),
-            "train_vs_reference_gpu_54": round(float(train_ips) / 54.0, 2),
-            "inference_batch_size": infer_batch,
-            "train_batch_size": batch_size,
-            "n_chips": n_chips,
+            "train_step_images_per_sec_per_chip": round(m["train"], 2),
+            "train_vs_reference_gpu_54": round(m["train"] / 54.0, 2),
+            "inference_batch_size": m["inference_batch"],
+            "train_batch_size": m["train_batch"],
+            "n_chips": m["n_chips"],
         },
     }))
-    return {"inference": float(infer_ips), "train": float(train_ips)}
+    return {"inference": m["inference"], "train": m["train"]}
 
 
-def assert_baseline(measured, path, tolerance=0.10):
-    """Fail (exit 1) if either throughput regressed >tolerance vs the
-    committed baseline — the perf-regression guard for refactors
-    (structural guards live in tests/test_perf_guards.py; numbers need
-    real hardware). Update BENCH_baseline.json when a speedup lands."""
+def run_multichip(out_path=None):
+    """One-command multi-chip scaling measurement (VERDICT r4 #4).
+
+    Runs the sharded chained benches on a 1-chip mesh and on the full
+    N-chip mesh, then writes ``MULTICHIP_BENCH.json`` with per-chip
+    throughput and scaling efficiency (per-chip N-chip rate ÷ per-chip
+    1-chip rate; 1.0 = perfect linear scaling over ICI). On a virtual CPU
+    mesh the numbers are meaningless but the harness and artifact schema
+    are exercised (tests/test_bench.py).
+    """
+    devices = init_devices_or_bail()
+    n = len(devices)
+    log(f"multichip bench over {n} device(s): {devices}")
+    single = measure(devices[:1])
+    result = {
+        "metric": "unet6_512px_bf16_multichip_scaling",
+        "n_chips": n,
+        "single_chip": {k: round(v, 2) for k, v in single.items()},
+        "platform": devices[0].platform,
+    }
+    if n > 1:
+        full = measure(devices)
+        result["full_mesh"] = {k: round(v, 2) for k, v in full.items()}
+        result["scaling_efficiency"] = {
+            "inference": round(full["inference"] / single["inference"], 4),
+            "train": round(full["train"] / single["train"], 4),
+        }
+    else:
+        result["full_mesh"] = None
+        result["scaling_efficiency"] = None
+        result["note"] = "single chip visible — scaling not measurable"
+    if out_path is None:
+        out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "MULTICHIP_BENCH.json")
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=2)
+        f.write("\n")
+    print(json.dumps(result))
+    return result
+
+
+def assert_baseline(measured, path):
+    """Fail (exit 1) if either throughput regressed more than the baseline
+    file's ``tolerance`` (fraction; the guard floor is ``value*(1-tol)``) —
+    the perf-regression guard for refactors (structural guards live in
+    tests/test_perf_guards.py; numbers need real hardware). The margin
+    lives IN BENCH_baseline.json so the guard and the committed number stay
+    one artifact; update both when a speedup lands."""
     with open(path) as f:
         base = json.load(f)
+    tolerance = float(base.get("tolerance", 0.10))
     failures = []
     checks = {
         "inference": base["value"],
@@ -222,7 +295,7 @@ def assert_baseline(measured, path, tolerance=0.10):
     for key, ref in checks.items():
         floor = ref * (1 - tolerance)
         log(f"assert-baseline {key}: measured {measured[key]:.1f} vs "
-            f"baseline {ref:.1f} (floor {floor:.1f})")
+            f"baseline {ref:.1f} (floor {floor:.1f}, tolerance {tolerance:.0%})")
         if measured[key] < floor:
             failures.append(f"{key}: {measured[key]:.1f} < {floor:.1f}")
     if failures:
@@ -232,6 +305,9 @@ def assert_baseline(measured, path, tolerance=0.10):
 
 
 if __name__ == "__main__":
+    if "--multichip" in sys.argv:
+        run_multichip()
+        sys.exit(0)
     measured = main()
     if "--assert-baseline" in sys.argv:
         idx = sys.argv.index("--assert-baseline")

@@ -110,7 +110,44 @@ class TestHFOracle:
     on CLS, projection). A real ``ViT-B-16.pt`` differs only in the values.
     """
 
-    def _parity(self, hf_cfg_kwargs, ours_cfg, image_size, tmp_path, atol):
+    @staticmethod
+    def _save_container(torch, sd, path, container):
+        """Write ``sd`` in one of the on-disk formats a real checkpoint
+        would arrive in (``load_torch_clip_weights`` docstring)."""
+        if container == "plain":
+            torch.save(sd, path)
+        elif container == "open_clip_fp16":
+            # open_clip wrapper + DDP prefixes + half-precision weights —
+            # exactly what an open_clip DDP run dumps.
+            torch.save(
+                {"state_dict": {"module." + k: v.half() for k, v in sd.items()},
+                 "epoch": 3},
+                path,
+            )
+        elif container == "torchscript":
+            # A scripted archive whose state_dict has the OpenAI names —
+            # the shape of OpenAI's published ViT-B-16.pt (torch.load fails
+            # on it; torch.jit.load + .state_dict() is the path).
+            class Holder(torch.nn.Module):
+                def forward(self) -> int:
+                    return 0
+
+            root = Holder()
+            for key, tensor in sd.items():
+                parts = key.split(".")
+                mod = root
+                for part in parts[:-1]:
+                    if not hasattr(mod, part):
+                        mod.add_module(part, Holder())
+                    mod = getattr(mod, part)
+                mod.register_parameter(
+                    parts[-1], torch.nn.Parameter(tensor.clone()))
+            torch.jit.save(torch.jit.script(root), str(path))
+        else:  # pragma: no cover
+            raise ValueError(container)
+
+    def _parity(self, hf_cfg_kwargs, ours_cfg, image_size, tmp_path, atol,
+                container="plain"):
         torch = pytest.importorskip("torch")
         transformers = pytest.importorskip("transformers")
 
@@ -119,9 +156,14 @@ class TestHFOracle:
             attention_dropout=0.0, **hf_cfg_kwargs)
         torch.manual_seed(7)
         hf = transformers.CLIPVisionModelWithProjection(hf_cfg).eval()
+        if container == "open_clip_fp16":
+            # Round the oracle's weights to fp16-representable values so the
+            # half-precision save is LOSSLESS and full parity still holds.
+            hf = hf.half().float()
 
         path = tmp_path / "synth_openai_clip.pt"
-        torch.save(_hf_to_openai_state_dict(hf), path)
+        self._save_container(torch, _hf_to_openai_state_dict(hf), path,
+                             container)
 
         model = CLIPVisionTransformer(ours_cfg, dtype=jnp.float32)
         abstract = model.init(
@@ -135,15 +177,21 @@ class TestHFOracle:
             want = hf(
                 pixel_values=torch.from_numpy(imgs.transpose(0, 3, 1, 2))
             ).image_embeds.numpy()
-        got = np.asarray(model.apply({"params": params}, jnp.asarray(imgs)))
+        # Pin matmul precision: a TPU/GPU backend's default f32 dots run in
+        # bf16 passes (~1e-2 through 12 layers) — the tolerance assumes true
+        # f32 regardless of which backend the suite runs on (ADVICE r4).
+        with jax.default_matmul_precision("highest"):
+            got = np.asarray(model.apply({"params": params}, jnp.asarray(imgs)))
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=atol)
 
-    def test_tiny_tower_matches_hf(self, tmp_path):
+    @pytest.mark.parametrize(
+        "container", ["plain", "open_clip_fp16", "torchscript"])
+    def test_tiny_tower_matches_hf(self, tmp_path, container):
         self._parity(
             dict(hidden_size=64, intermediate_size=256, num_hidden_layers=2,
                  num_attention_heads=2, image_size=32, patch_size=16,
                  projection_dim=16),
-            TINY, 32, tmp_path, atol=1e-5,
+            TINY, 32, tmp_path, atol=1e-5, container=container,
         )
 
     @pytest.mark.slow

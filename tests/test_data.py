@@ -217,6 +217,62 @@ class TestLoader:
             np.testing.assert_array_equal(a["image"], b["image"])
             np.testing.assert_array_equal(a["mask"], b["mask"])
 
+    def test_decode_cache_bit_identical(self, tmp_path):
+        """Cache round-trip is bit-identical to the direct decode path, for
+        every key — the decode-once memmap cache must never change pixels."""
+        self._make_processed(tmp_path / "Train")
+        args = (tmp_path / "Train" / "resized",
+                tmp_path / "Train" / "resized_label")
+        direct = PetDataset(*args)
+        cached = PetDataset(*args, cache_dir=tmp_path / "cache")
+        assert cached._cache is not None
+        for i in range(len(direct)):
+            a, b = direct.load_item(i), cached.load_item(i)
+            assert set(a) == set(b)
+            for k in a:
+                np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+        # Second open: warm cache, no rebuild (manifest matches)
+        d2 = PetDataset(*args, cache_dir=tmp_path / "cache")
+        np.testing.assert_array_equal(
+            d2.load_item(0)["image"], direct.load_item(0)["image"])
+
+    def test_decode_cache_invalidation(self, tmp_path):
+        """Touching a source file (new mtime/size) rebuilds the cache."""
+        self._make_processed(tmp_path / "Train", with_aug=False)
+        args = (tmp_path / "Train" / "resized",
+                tmp_path / "Train" / "resized_label")
+        cached = PetDataset(*args, cache_dir=tmp_path / "cache")
+        before = cached.load_item(0)["image"].copy()
+        # Overwrite img_0 with different pixels (and a new mtime)
+        rng = np.random.default_rng(99)
+        cv2.imwrite(str(tmp_path / "Train" / "resized" / "img_0.jpg"),
+                    (rng.random((512, 512, 3)) * 255).astype(np.uint8))
+        fresh = PetDataset(*args, cache_dir=tmp_path / "cache")
+        after = fresh.load_item(0)["image"]
+        assert not np.array_equal(before, after)
+        np.testing.assert_array_equal(
+            after, PetDataset(*args).load_item(0)["image"])
+
+    def test_decode_cache_reconstruction_and_clip(self, tmp_path):
+        """Cache covers the AE (no-mask) and CLIP (224² view) schemas."""
+        self._make_processed(tmp_path / "Train", with_aug=False)
+        recon_args = dict(mode="reconstruction")
+        a = PetDataset(tmp_path / "Train" / "resized", None, **recon_args)
+        b = PetDataset(tmp_path / "Train" / "resized", None,
+                       cache_dir=tmp_path / "c1", **recon_args)
+        for k, v in a.load_item(1).items():
+            np.testing.assert_array_equal(v, b.load_item(1)[k], err_msg=k)
+        clip_args = dict(clip_dir=tmp_path / "Train" / "resized_clip")
+        c = PetDataset(tmp_path / "Train" / "resized",
+                       tmp_path / "Train" / "resized_label", **clip_args)
+        d = PetDataset(tmp_path / "Train" / "resized",
+                       tmp_path / "Train" / "resized_label",
+                       cache_dir=tmp_path / "c2", **clip_args)
+        it_c, it_d = c.load_item(2), d.load_item(2)
+        assert it_c["clip_image"].shape == (224, 224, 3)
+        for k in it_c:
+            np.testing.assert_array_equal(it_c[k], it_d[k], err_msg=k)
+
     def test_multihost_sharding(self, tmp_path):
         self._make_processed(tmp_path / "Train", with_aug=False)
         d0 = PetDataset(tmp_path / "Train" / "resized", None,

@@ -271,3 +271,78 @@ class TestEarlyStopping:
         assert not es(0.5)
         assert not es(0.51)
         assert es(0.52)
+
+
+class TestUint8Batches:
+    """The emit_uint8 loader contract: raw uint8 batches through the jitted
+    steps match host-normalized float batches to ~1 ulp — the device
+    normalization (ops/normalize.py) replays the loader's op sequence
+    (/255, -mean, /std in f32); XLA may fuse the chain with different
+    rounding, so equality is allclose at 1e-6, far below bf16 training
+    precision. The standalone op IS bitwise (test_normalize_image_bitwise)."""
+
+    def _pair(self, seed=0, size=32, b=2):
+        from unet_implementations_tpu.data.loader import (
+            IMAGENET_MEAN,
+            IMAGENET_STD,
+        )
+
+        rng = np.random.default_rng(seed)
+        u8 = rng.integers(0, 256, (b, size, size, 3), dtype=np.uint8)
+        mask = rng.integers(0, 3, (b, size, size)).astype(np.int32)
+        f32 = ((u8.astype(np.float32) / 255.0) - IMAGENET_MEAN) / IMAGENET_STD
+        return u8, f32, mask
+
+    def test_normalize_image_bitwise(self):
+        from unet_implementations_tpu.ops.normalize import normalize_image
+
+        u8, f32, _ = self._pair()
+        np.testing.assert_array_equal(
+            np.asarray(normalize_image(jnp.asarray(u8))), f32)
+        # float passthrough is the identity
+        out = normalize_image(jnp.asarray(f32))
+        np.testing.assert_array_equal(np.asarray(out), f32)
+        # unit mode
+        np.testing.assert_array_equal(
+            np.asarray(normalize_image(jnp.asarray(u8), mode="unit")),
+            u8.astype(np.float32) / 255.0)
+
+    def test_seg_train_step_parity(self):
+        u8, f32, mask = self._pair()
+        state = create_train_state(
+            tiny_unet(), jax.random.key(0), jnp.asarray(f32), sgd_nesterov())
+        step = make_segmentation_train_step(donate=False)
+        rng = jax.random.key(1)
+        s_u8, l_u8 = step(state, {"image": jnp.asarray(u8), "mask": jnp.asarray(mask)}, rng)
+        s_f32, l_f32 = step(state, {"image": jnp.asarray(f32), "mask": jnp.asarray(mask)}, rng)
+        np.testing.assert_allclose(
+            np.asarray(l_u8), np.asarray(l_f32), rtol=1e-6)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                rtol=1e-5, atol=1e-7),
+            s_u8.params, s_f32.params)
+
+    def test_seg_eval_step_parity(self):
+        u8, f32, mask = self._pair(seed=3)
+        state = create_train_state(
+            tiny_unet(), jax.random.key(0), jnp.asarray(f32), sgd_nesterov())
+        estep = make_segmentation_eval_step()
+        o_u8 = estep(state, {"image": jnp.asarray(u8), "mask": jnp.asarray(mask)})
+        o_f32 = estep(state, {"image": jnp.asarray(f32), "mask": jnp.asarray(mask)})
+        np.testing.assert_allclose(
+            np.asarray(o_u8["loss"]), np.asarray(o_f32["loss"]), rtol=1e-6)
+        np.testing.assert_array_equal(
+            np.asarray(o_u8["preds"]), np.asarray(o_f32["preds"]))
+
+    def test_reconstruction_step_parity(self):
+        u8, _, _ = self._pair(seed=5)
+        f01 = u8.astype(np.float32) / 255.0
+        state = make_state(reconstruction=True)
+        step = make_reconstruction_train_step(donate=False)
+        rng = jax.random.key(2)
+        b_u8 = {"image": jnp.asarray(u8), "target": jnp.asarray(u8)}
+        b_f = {"image": jnp.asarray(f01), "target": jnp.asarray(f01)}
+        _, l_u8 = step(state, b_u8, rng)
+        _, l_f = step(state, b_f, rng)
+        np.testing.assert_allclose(np.asarray(l_u8), np.asarray(l_f), rtol=1e-6)

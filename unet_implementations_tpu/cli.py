@@ -52,6 +52,14 @@ def _add_compat_flags(p: argparse.ArgumentParser):
     """
     p.add_argument("--num_workers", type=int, default=None,
                    help="compat alias for --num_threads")
+    p.add_argument("--decode_cache", default=None, metavar="DIR",
+                   help="decode each image/mask ONCE into a uint8 memmap "
+                        "cache under DIR and stream from it thereafter — "
+                        "the host-side fix for 1-core hosts where jpg "
+                        "decode (~23 img/s) starves the TPU (~169 img/s "
+                        "train). Applies to every dataset the command "
+                        "opens (train/val/test). Invalidated automatically "
+                        "when source files change.")
     p.add_argument("--device", default=None, help=argparse.SUPPRESS)
     p.add_argument("--amp", action="store_true", help=argparse.SUPPRESS)
     p.add_argument("--reduced_complexity", action="store_true",
@@ -282,6 +290,14 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+
+    if getattr(args, "decode_cache", None):
+        # Env-var plumbing so every PetDataset the recipe opens (train, val,
+        # test, static-weight recount) picks the cache up without threading
+        # a parameter through each signature (data/loader.py docstring).
+        import os
+
+        os.environ["UNET_TPU_DECODE_CACHE"] = args.decode_cache
 
     if args.recipe in ("our_unet", "clip_unet", "ae_recon", "ae_transfer"):
         # Multi-host DCN wiring must happen before the first backend use

@@ -618,7 +618,13 @@ IMAGENET_STD = jnp.asarray(_IMAGENET_STD_NP)
 
 def _augment_by_mask_class(key, images01, masks, policy):
     """Shared online-path core: derive class ids from masks (1 present →
-    cat), run the policy-routed batch augmentation. Returns [0,1] pixels."""
+    cat), run the policy-routed batch augmentation. Returns [0,1] pixels.
+    Accepts raw uint8 images (the loader's ``emit_uint8`` starvation fix,
+    ``ops/normalize.py``) — converted to [0,1] in-graph."""
+    from unet_implementations_tpu.ops.normalize import normalize_image
+
+    images01 = normalize_image(images01, mode="unit")
+    masks = masks.astype(jnp.int32)
     has_cat = jnp.any(masks == 1, axis=(1, 2))
     class_idx = jnp.where(has_cat, 0, 1).astype(jnp.int32)
     return _augment_batch_jit(key, images01, masks, class_idx, policy)

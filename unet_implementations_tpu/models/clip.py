@@ -171,6 +171,14 @@ class ClipFeatureExtractor:
     def __call__(self, images: jax.Array) -> jax.Array:
         if self.zeros:
             return jnp.zeros((images.shape[0], self.output_dim), jnp.float32)
+        if images.dtype == jnp.uint8:
+            # Raw uint8 clip view from an emit_uint8 loader: apply the host
+            # loader's exact normalization in-graph (ImageNet stats — the
+            # reference quirk, CLIP_UNet/src/train.py:303-308 applied to the
+            # clip image too). ops/normalize.py.
+            from unet_implementations_tpu.ops.normalize import normalize_image
+
+            images = normalize_image(images)
         if images.shape[1:3] != (self.config.image_size, self.config.image_size):
             from unet_implementations_tpu.ops.resize import resize_bilinear
 

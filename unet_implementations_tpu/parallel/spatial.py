@@ -219,4 +219,8 @@ def spatial_train_step_jit(
             )
         return jitted(state, batch, rng)
 
+    # Expose the underlying jit for AOT compile-only validation
+    # (__graft_entry__.dryrun_multichip lowers the 512² SPMD program
+    # without executing it); callers must pass exactly ``consumed`` keys.
+    step.jitted = jitted
     return step

@@ -27,6 +27,7 @@ import numpy as np
 
 from unet_implementations_tpu.data.loader import PetDataset, batch_iterator
 from unet_implementations_tpu.models.unet import autoencoder_6stage
+from unet_implementations_tpu.ops.normalize import normalize_image
 from unet_implementations_tpu.ops.losses import reconstruction_loss
 from unet_implementations_tpu.parallel import create_mesh
 from unet_implementations_tpu.ops.tuning import inference_jit
@@ -60,16 +61,18 @@ def build_model(dtype=jnp.bfloat16):
     return autoencoder_6stage(dtype=dtype)
 
 
-def make_datasets(data_dir: str | Path):
+def make_datasets(data_dir: str | Path, emit_uint8: bool = True):
+    # emit_uint8: raw uint8 batches; the reconstruction steps convert to
+    # [0,1] in-graph (ops/normalize.py) — the 1-core-host starvation fix.
     data_dir = Path(data_dir)
     train = PetDataset(
         data_dir / "Train" / "resized", None, include_augmented=True,
-        mode="reconstruction",
+        mode="reconstruction", emit_uint8=emit_uint8,
         process_index=jax.process_index(), process_count=jax.process_count(),
     )
     val = PetDataset(
         data_dir / "Val" / "resized", None, include_augmented=False,
-        mode="reconstruction",
+        mode="reconstruction", emit_uint8=emit_uint8,
     )
     return train, val
 
@@ -88,11 +91,13 @@ def make_loss_fn(mse_weight=1.0, perceptual_weight=0.0, ssim_weight=0.0,
 
     def loss_fn(state, params, batch, rng):
         recon = state.apply_fn(
-            {"params": params}, batch["image"],
+            {"params": params},
+            normalize_image(batch["image"], mode="unit"),
             deterministic=False, rngs={"dropout": rng},
         )
         return reconstruction_loss(
-            recon, batch["target"], mse_weight=mse_weight,
+            recon, normalize_image(batch["target"], mode="unit"),
+            mse_weight=mse_weight,
             perceptual_weight=perceptual_weight, ssim_weight=ssim_weight,
             feature_fns=feature_fns,
         )
@@ -155,7 +160,10 @@ def train(
     model = build_model(dtype)
     tx = adam_l2(lr, weight_decay)
     sample = next(batch_iterator(train_ds, min(2, batch_size)))
-    state = create_train_state(model, jax.random.key(seed), jnp.asarray(sample["image"]), tx)
+    state = create_train_state(
+        model, jax.random.key(seed),
+        normalize_image(jnp.asarray(sample["image"]), mode="unit"), tx,
+    )
 
     feature_fns = None
     if perceptual_weight > 0:
@@ -193,13 +201,15 @@ def train(
             from unet_implementations_tpu.utils.visualize import save_comparison_grid
 
             first = next(batch_iterator(val_ds, min(4, batch_size)))
+            images01 = normalize_image(jnp.asarray(first["image"]),
+                                       mode="unit")
             recon = np.asarray(ckpt_state.apply_fn(
                 {"params": ckpt_state.params},
-                jnp.asarray(first["image"], dtype), deterministic=True,
+                images01.astype(dtype), deterministic=True,
             ), np.float32)
             vis_dir = output_dir / "reconstructions"
             vis_dir.mkdir(exist_ok=True)
-            save_comparison_grid(first["image"], recon,
+            save_comparison_grid(np.asarray(images01, np.float32), recon,
                                  vis_dir / f"epoch_{epoch}.png")
         except Exception as e:  # pragma: no cover - visualization is best-effort
             if verbose:

@@ -20,6 +20,7 @@ import numpy as np
 
 from unet_implementations_tpu.data.loader import batch_iterator
 from unet_implementations_tpu.models.unet import encoder_param_names
+from unet_implementations_tpu.ops.normalize import normalize_image
 from unet_implementations_tpu.parallel import create_mesh
 from unet_implementations_tpu.recipes import our_unet
 from unet_implementations_tpu.recipes.common import check_grad_accum
@@ -100,7 +101,10 @@ def train(
 
     model = build_model(dtype)
     sample = next(batch_iterator(train_ds, min(2, batch_size)))
-    params = model.init(jax.random.key(seed), jnp.asarray(sample["image"]))["params"]
+    params = model.init(
+        jax.random.key(seed),
+        normalize_image(jnp.asarray(sample["image"])),
+    )["params"]
     params = dict(params)
 
     # Graft + freeze the AE encoder (phase-2 contract, SURVEY §3.3).

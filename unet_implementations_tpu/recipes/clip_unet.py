@@ -32,6 +32,7 @@ from unet_implementations_tpu.data.loader import PetDataset, batch_iterator
 from unet_implementations_tpu.models.clip import ClipFeatureExtractor
 from unet_implementations_tpu.models.unet import UNet
 from unet_implementations_tpu.parallel import create_mesh
+from unet_implementations_tpu.ops.normalize import normalize_image
 from unet_implementations_tpu.ops.tuning import inference_jit
 from unet_implementations_tpu.recipes.common import (
     check_grad_accum,
@@ -68,13 +69,16 @@ def build_model(dtype=jnp.bfloat16, clip_dim: int = 512) -> UNet:
 
 
 def make_datasets(data_dir: str | Path, include_augmented: bool = True,
-                  normalize_train: bool = True):
+                  normalize_train: bool = True, emit_uint8: bool = True):
+    # emit_uint8: raw uint8 batches; steps + ClipFeatureExtractor normalize
+    # in-graph (ops/normalize.py) — the 1-core-host starvation fix.
     data_dir = Path(data_dir)
     train = PetDataset(
         data_dir / "Train" / "resized",
         data_dir / "Train" / "resized_label",
         include_augmented=include_augmented,
         normalize=normalize_train,
+        emit_uint8=emit_uint8,
         # Online-augment mode derives the 224² view on device from the
         # augmented pixels — no host clip image needed. When resized_clip/
         # is absent the LOADER falls back per file to one cv2 resize of its
@@ -90,6 +94,7 @@ def make_datasets(data_dir: str | Path, include_augmented: bool = True,
         data_dir / "Val" / "processed_labels",
         include_augmented=False,
         clip_dir=data_dir / "Val" / "resized_clip",
+        emit_uint8=emit_uint8,
     )
     return train, val
 
@@ -282,7 +287,8 @@ def train(
     tx = sgd_nesterov(lr, weight_decay, momentum)
     sample = next(batch_iterator(train_ds, min(2, batch_size)))
     state = create_train_state(
-        model, jax.random.key(seed), jnp.asarray(sample["image"]), tx,
+        model, jax.random.key(seed),
+        normalize_image(jnp.asarray(sample["image"])), tx,
         clip_features=jnp.zeros(
             (int(sample["image"].shape[0]), extractor.output_dim)
         ),

@@ -25,6 +25,7 @@ import numpy as np
 from unet_implementations_tpu.data.loader import PetDataset, batch_iterator
 from unet_implementations_tpu.models.unet import UNet, unet_6stage
 from unet_implementations_tpu.parallel import create_mesh
+from unet_implementations_tpu.ops.normalize import normalize_image
 from unet_implementations_tpu.ops.tuning import inference_jit
 from unet_implementations_tpu.recipes.common import (
     check_grad_accum,
@@ -88,7 +89,12 @@ def make_datasets(
     data_dir: str | Path,
     include_augmented: bool = True,
     normalize_train: bool = True,
+    emit_uint8: bool = True,
 ):
+    """Train/val datasets for the training loop. ``emit_uint8`` (default ON
+    for training — the steps normalize in-graph, ``ops/normalize.py``) skips
+    all host float math; the 1-core-host starvation fix. Dataset-level eval
+    paths build their own loaders with the host-float contract."""
     data_dir = Path(data_dir)
     train = PetDataset(
         data_dir / "Train" / "resized",
@@ -97,11 +103,13 @@ def make_datasets(
         normalize=normalize_train,
         process_index=jax.process_index(),
         process_count=jax.process_count(),
+        emit_uint8=emit_uint8,
     )
     val = PetDataset(
         data_dir / "Val" / "resized",
         data_dir / "Val" / "processed_labels",
         include_augmented=False,
+        emit_uint8=emit_uint8,
     )
     return train, val
 
@@ -188,7 +196,10 @@ def train(
     model = build_model(dtype)
     tx = sgd_nesterov(lr, weight_decay, momentum)
     sample = next(batch_iterator(train_ds, min(2, batch_size)))
-    state = create_train_state(model, jax.random.key(seed), jnp.asarray(sample["image"]), tx)
+    state = create_train_state(
+        model, jax.random.key(seed),
+        normalize_image(jnp.asarray(sample["image"])), tx,
+    )
 
     sw = None
     if weighted_ce and static_weights:

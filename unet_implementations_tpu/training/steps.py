@@ -22,6 +22,7 @@ from unet_implementations_tpu.ops.losses import (
     segmentation_loss,
 )
 from unet_implementations_tpu.ops.metrics import batch_dice_scores, confusion_matrix
+from unet_implementations_tpu.ops.normalize import normalize_image
 from unet_implementations_tpu.training.train_state import TrainState
 
 
@@ -40,8 +41,8 @@ def make_segmentation_loss_fn(
     def loss_fn(state, params, batch, rng):
         logits = state.apply_fn(
             {"params": params},
-            batch["image"],
-            batch.get("clip_features") if use_clip else None,
+            normalize_image(batch["image"]),  # no-op unless the loader
+            batch.get("clip_features") if use_clip else None,  # emits uint8
             deterministic=False,
             rngs={"dropout": rng},
         )
@@ -195,7 +196,7 @@ def make_segmentation_eval_step(
     def eval_step(state: TrainState, batch: Dict):
         logits = state.apply_fn(
             {"params": state.params},
-            batch["image"],
+            normalize_image(batch["image"]),
             batch.get("clip_features") if use_clip else None,
             deterministic=True,
         )
@@ -229,11 +230,11 @@ def make_reconstruction_train_step(donate: bool = True) -> Callable:
         def loss_fn(params):
             recon = state.apply_fn(
                 {"params": params},
-                batch["image"],
+                normalize_image(batch["image"], mode="unit"),
                 deterministic=False,
                 rngs={"dropout": rng},
             )
-            return mse_loss(recon, batch["target"])
+            return mse_loss(recon, normalize_image(batch["target"], mode="unit"))
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         return state.apply_gradients(grads), loss
@@ -243,15 +244,17 @@ def make_reconstruction_train_step(donate: bool = True) -> Callable:
 
 def make_reconstruction_eval_step() -> Callable:
     def eval_step(state: TrainState, batch: Dict):
+        image = normalize_image(batch["image"], mode="unit")
+        target = normalize_image(batch["target"], mode="unit")
         recon = state.apply_fn(
-            {"params": state.params}, batch["image"], deterministic=True
+            {"params": state.params}, image, deterministic=True
         )
-        diff = recon.astype(jnp.float32) - batch["target"].astype(jnp.float32)
+        diff = recon.astype(jnp.float32) - target.astype(jnp.float32)
         per_image_mse = jnp.mean(diff * diff, axis=(1, 2, 3))
         return {
-            "loss": mse_loss(recon, batch["target"]),
+            "loss": mse_loss(recon, target),
             "mse": per_image_mse,
-            "psnr": psnr(recon, batch["target"]),
+            "psnr": psnr(recon, target),
             "recon": recon,
         }
 
