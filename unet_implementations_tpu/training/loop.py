@@ -14,6 +14,7 @@ and ``best_model`` Orbax directories.
 from __future__ import annotations
 
 import json
+import os
 import time
 from pathlib import Path
 from typing import Any, Callable, Dict, Iterable, Optional
@@ -147,7 +148,10 @@ def train_loop(
         # per step would stall the host and serialize H2D transfer against
         # compute). A bounded sync every `run_ahead` steps caps the number of
         # in-flight batches so queued H2D buffers can't blow up HBM.
-        run_ahead = 4
+        run_ahead = int(os.environ.get("UNET_TPU_RUN_AHEAD", "4"))
+        # Long-epoch observability (off by default): print a flushed heartbeat
+        # every N steps so a stalled device queue is visible mid-epoch.
+        heartbeat = int(os.environ.get("UNET_TPU_STEP_HEARTBEAT", "0"))
         losses, n_train = [], 0
         data_time, step_time = 0.0, 0.0
         profiling = profile_dir is not None and epoch == start_epoch
@@ -170,6 +174,9 @@ def train_loop(
                 # ago (not the newest one, which would drain the pipeline).
                 jax.block_until_ready(losses[n_train - run_ahead - 1])
             step_time += time.time() - t0
+            if heartbeat and n_train % heartbeat == 0:
+                print(f"    step {n_train}: data={data_time:.1f}s "
+                      f"step={step_time:.1f}s", flush=True)
             if profiling and n_train >= 3:
                 # Ensure the profiled steps' device work has actually executed
                 # before the trace closes (dispatch is async).
