@@ -49,7 +49,17 @@ class InstanceNorm(nn.Module):
     fused_negative_slope: float | None = None
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, return_params: bool = False):
+        if return_params:
+            # Param-extraction mode for the fused whole-region tail
+            # (kernels/s2d_region.py): create the EXACT same params (same
+            # scope path, name, shape — checkpoint-independent dispatch)
+            # and return them instead of computing.
+            group = 4 if self.s2d else 1
+            c = x.shape[-1] // group
+            scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+            bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+            return scale, bias
         if self.fused_negative_slope is not None:
             from unet_implementations_tpu.kernels.instance_norm import (
                 fused_instance_norm,
@@ -110,7 +120,7 @@ class ConvOp(nn.Module):
     dense_up_fold: bool = False
 
     @nn.compact
-    def __call__(self, x) -> jax.Array:
+    def __call__(self, x, return_params: bool = False):
         k = self.kernel_size
         if isinstance(x, (tuple, list)):
             # Segmented input: a logical channel-concat passed unmerged so the
@@ -128,6 +138,10 @@ class ConvOp(nn.Module):
             "kernel", kaiming_fan_out, (k, k, cin, self.features), jnp.float32
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        if return_params:
+            # See InstanceNorm.__call__(return_params=True): identical param
+            # creation (canonical kernel layout), no compute.
+            return kernel, bias
         if isinstance(x, (tuple, list)):
             if self.s2d and self.s2d_up_fold:
                 from unet_implementations_tpu.models.s2d import (
@@ -235,6 +249,61 @@ class ConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        use_region = False
+        if self.s2d and self.n_convs == 2 and deterministic:
+            from unet_implementations_tpu.kernels.s2d_region import (
+                s2d_region_enabled,
+            )
+
+            use_region = s2d_region_enabled()
+        if use_region:
+            # Whole-region fused tail (kernels/s2d_region.py): conv_0 runs on
+            # its existing path (segmented/folded dispatch intact), then
+            # [IN -> lrelu -> conv_1 -> IN -> lrelu] executes as ONE Pallas
+            # program with the image resident in VMEM. Inference-only
+            # (trace-time dispatch on ``deterministic``, like the dense-fold
+            # policy); dropout is inactive in this mode and both level-0
+            # block rates are 0.0 anyway. Params are created through the
+            # same submodules (return_params) — same tree, any checkpoint.
+            from unet_implementations_tpu.kernels.s2d_region import (
+                fused_s2d_tail,
+                region_applicable,
+            )
+
+            x = ConvOp(
+                features=self.features,
+                kernel_size=self.kernel_size,
+                stride=self.stride,
+                dtype=self.dtype,
+                s2d=True,
+                s2d_segments=self.s2d_segments_first,
+                s2d_up_fold=self.s2d_up_fold_first,
+                name="conv_0",
+            )(x)
+            scale1, bias1 = InstanceNorm(
+                dtype=self.dtype, s2d=True, name="norm_0"
+            )(x, return_params=True)
+            kernel2, _bias2 = ConvOp(
+                features=self.features, kernel_size=self.kernel_size,
+                dtype=self.dtype, s2d=True, name="conv_1",
+            )(x, return_params=True)
+            scale2, bias2 = InstanceNorm(
+                dtype=self.dtype, s2d=True, name="norm_1"
+            )(x, return_params=True)
+            if self.kernel_size == 3 and region_applicable(x.shape, x.dtype):
+                return fused_s2d_tail(
+                    x, scale1, bias1, kernel2.astype(self.dtype),
+                    scale2, bias2, negative_slope=self.negative_slope,
+                )
+            # Shape not kernel-eligible: fall through to the module path —
+            # params already exist with identical names, so re-entering the
+            # loop below reuses them.
+            from unet_implementations_tpu.kernels.s2d_region import jnp_tail
+
+            return jnp_tail(
+                x, scale1, bias1, kernel2.astype(self.dtype), scale2, bias2,
+                neg=self.negative_slope,
+            )
         for i in range(self.n_convs):
             stride = self.stride if i == 0 else 1
             x = ConvOp(
