@@ -52,16 +52,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def s2d_region_enabled() -> bool:
-    """Gate for the fused s2d tail region. Default: ON for inference jits on
-    TPU backends (measured win, docs/PERFORMANCE.md round-5 section), OFF
-    elsewhere. Override with ``UNET_TPU_S2D_REGION=0|1``."""
+    """Gate for the fused s2d tail region. Default: OFF (opt-in) until the
+    end-to-end TPU measurement lands — see docs/PERFORMANCE.md round-5
+    section for the verdict. Override with ``UNET_TPU_S2D_REGION=0|1``."""
     v = os.environ.get("UNET_TPU_S2D_REGION")
     if v is not None:
         return v not in ("0", "false", "")
-    try:
-        return jax.default_backend() in ("tpu", "axon")
-    except Exception:  # pragma: no cover
-        return False
+    return False
 
 
 def _pool_q(v: jax.Array, c: int) -> jax.Array:
