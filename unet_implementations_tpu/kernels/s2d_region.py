@@ -79,9 +79,19 @@ def _region_kernel(x_ref, w2_ref, s1_ref, b1_ref, s2_ref, b2_ref, out_ref,
     n = h * w * 4  # statistics population per ORIGINAL channel
 
     # --- IN1 statistics + normalize into the H-padded scratch ---
-    x = x_ref[0].astype(jnp.float32)  # (h, w, c4)
-    t1 = jnp.sum(x, axis=(0, 1), keepdims=True)[0]        # (1, c4)
-    t2 = jnp.sum(x * x, axis=(0, 1), keepdims=True)[0]
+    # Chunked passes: whole-image f32 temporaries (33.6 MB each at 256²x128)
+    # blow the 128 MB VMEM budget as register-allocator spill — every pass
+    # touches at most a (ch, w, c4) f32 value.
+    zero = jnp.zeros((1, c4), jnp.float32)
+
+    def stats1_body(ci, carry):
+        t1, t2 = carry
+        xf = x_ref[0, pl.ds(ci * ch, ch)].astype(jnp.float32)  # (ch, w, c4)
+        t1 = t1 + jnp.sum(xf, axis=(0, 1), keepdims=True)[0]
+        t2 = t2 + jnp.sum(xf * xf, axis=(0, 1), keepdims=True)[0]
+        return t1, t2
+
+    t1, t2 = jax.lax.fori_loop(0, nc, stats1_body, (zero, zero))
     p1 = _pool_q(t1, c)
     p2 = _pool_q(t2, c)
     mean = p1 / n
@@ -89,9 +99,16 @@ def _region_kernel(x_ref, w2_ref, s1_ref, b1_ref, s2_ref, b2_ref, out_ref,
     rstd = jax.lax.rsqrt(var + eps)
     a1 = _tile_q(rstd * s1_ref[...])                       # (1, c4)
     b1 = _tile_q(b1_ref[...] - mean * rstd * s1_ref[...])
-    y = x * a1[None] + b1[None]
-    y = jnp.where(y >= 0, y, y * neg)
-    xpad_ref[1:h + 1] = y.astype(xpad_ref.dtype)
+
+    def norm1_body(ci, _):
+        h0 = ci * ch
+        y = x_ref[0, pl.ds(h0, ch)].astype(jnp.float32)
+        y = y * a1[None] + b1[None]
+        y = jnp.where(y >= 0, y, y * neg)
+        xpad_ref[pl.ds(h0 + 1, ch)] = y.astype(xpad_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, nc, norm1_body, 0)
     zrow = jnp.zeros((1, w, c4), xpad_ref.dtype)
     xpad_ref[0:1] = zrow
     xpad_ref[h + 1:h + 2] = zrow
@@ -119,7 +136,6 @@ def _region_kernel(x_ref, w2_ref, s1_ref, b1_ref, s2_ref, b2_ref, out_ref,
         out_ref[0, pl.ds(h0, ch)] = y16.reshape(ch, w, c4)
         return u1, u2
 
-    zero = jnp.zeros((1, c4), jnp.float32)
     u1, u2 = jax.lax.fori_loop(0, nc, chunk_body, (zero, zero))
 
     # --- IN2 finalize + second in-VMEM pass over the output block ---
@@ -160,7 +176,11 @@ def _stack_w2(kernel2: jax.Array, dtype) -> jax.Array:
 
 
 def _chunk_rows(h: int) -> int:
-    for ch in (64, 32, 16, 8):
+    # 32 rows keeps every in-kernel f32 temporary at (32, W, 4C) — 4.2 MB at
+    # the 256²x128 level — so the whole program (in/out windows 64 MB
+    # double-buffered + xpad 16 MB + im2col 6.4 MB + temps) stays under the
+    # 128 MB VMEM ceiling (the 64-row variant OOM'd at 152 MB, round-5 log).
+    for ch in (32, 16, 8):
         if h % ch == 0:
             return ch
     return h
